@@ -1,0 +1,180 @@
+"""Forward-only Pallas depth renderer.
+
+TPU re-design of render_depth_kernel (reference: src/depth.cu:7-177):
+per pixel, walk the tile's depth-sorted splats front to back accumulating
+alpha (no 1/255 skip, no saturation break) and report the Euclidean
+camera-frame distance of the first splat at which the accumulated alpha
+crosses ``alpha_threshold``.  Pixels that never cross keep -1
+(reference: splat_py/depth.py:75-77).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_splatting_tpu.ops import common as cc
+from gaussian_splatting_tpu.ops.render import (
+    META_CHUNK_IN_TILE,
+    META_LAST,
+    META_NVALID,
+    META_TX,
+    META_TY,
+    META_TILE,
+    _alpha_terms,
+    _col_to_row,
+    _log_one_minus,
+    _pixel_coords,
+    _tri_matrices,
+    default_interpret,
+)
+
+# feature row 6 holds the splat's camera-frame Euclidean distance
+FEAT_DEPTH = 6
+
+
+def depth_features(uv, opacity, conic, xyz_camera):
+    """Pack per-gaussian depth-render inputs, (FEAT_ROWS, N)."""
+    n = uv.shape[0]
+    dist = jnp.linalg.norm(xyz_camera, axis=1)
+    rows = [
+        uv[:, 0],
+        uv[:, 1],
+        opacity[:, 0],
+        conic[:, 0] + 0.25,
+        conic[:, 1] * 0.5,
+        conic[:, 2] + 0.25,
+        dist,
+    ]
+    feat = jnp.stack(rows)
+    return jnp.concatenate(
+        [feat, jnp.zeros((cc.FEAT_ROWS - len(rows), n), feat.dtype)]
+    )
+
+
+def _depth_kernel(alpha_threshold, meta_ref, feat_ref, out_ref, t_col,
+                  depth_col, found_col):
+    w = pl.program_id(0)
+    cit = meta_ref[META_CHUNK_IN_TILE, w]
+    nvalid = meta_ref[META_NVALID, w]
+    last = meta_ref[META_LAST, w]
+    tx = meta_ref[META_TX, w]
+    ty = meta_ref[META_TY, w]
+
+    @pl.when(cit == 0)
+    def _():
+        t_col[:] = jnp.ones_like(t_col)
+        depth_col[:] = jnp.full_like(depth_col, -1.0)
+        found_col[:] = jnp.zeros_like(found_col)
+
+    @pl.when(nvalid > 0)
+    def _():
+        f = feat_ref[:]
+        chunk = f.shape[1]
+        upix, vpix = _pixel_coords(tx, ty, f.dtype)
+        t = _alpha_terms(f, upix, vpix, nvalid)
+        # the depth walk uses the raw alpha (no 1/255 skip): zero only the
+        # out-of-count lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        at = jnp.where(lane < nvalid, t["alpha"], 0.0)
+        loma = _log_one_minus(at)
+        u_strict, u_incl = _tri_matrices(chunk, f.dtype)
+        t_incl = t_col[:] * jnp.exp(_mm_cached(loma, u_incl))
+        crossed = (1.0 - t_incl) > alpha_threshold  # (256, CHUNK)
+        # first crossing within this chunk: no earlier crossing in the chunk
+        prior = _mm_cached(crossed.astype(f.dtype), u_strict) > 0.5
+        newly = crossed & (~prior) & (found_col[:] < 0.5)
+        depth_row = f[FEAT_DEPTH : FEAT_DEPTH + 1, :]  # (1, CHUNK)
+        hit = jnp.sum(
+            jnp.where(newly, depth_row, 0.0), axis=1, keepdims=True
+        )
+        has_hit = jnp.sum(newly.astype(f.dtype), axis=1, keepdims=True) > 0.5
+        depth_col[:] = jnp.where(
+            (found_col[:] < 0.5) & has_hit, hit, depth_col[:]
+        )
+        found_col[:] = jnp.maximum(
+            found_col[:], has_hit.astype(found_col.dtype)
+        )
+        t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+
+    @pl.when(last == 1)
+    def _():
+        out_ref[0:1, :] = _col_to_row(depth_col[:])
+        out_ref[1:, :] = jnp.zeros_like(out_ref[1:, :])
+
+
+def _mm_cached(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=((((1,), (0,))), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha_threshold", "n_tiles", "x_tiles", "chunk", "interpret",
+    ),
+)
+def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
+                interpret):
+    n_splats = feat.shape[1]
+    n_chunks = n_splats // chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (cc.FEAT_ROWS, chunk), lambda w, m: (0, w),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, cc.PIXELS_PER_TILE),
+            lambda w, m: (0, m[META_TILE, w]),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_depth_kernel, float(alpha_threshold))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (8, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
+        ),
+        interpret=interpret,
+    )(meta, feat)
+
+
+def render_depth_tiles(
+    feat,
+    meta,
+    tile_has_output,
+    alpha_threshold: float,
+    *,
+    n_tiles: int,
+    x_tiles: int,
+    chunk: int,
+    interpret: bool | None = None,
+):
+    """Depth per tile pixel, (n_tiles, 256); -1 where never crossed."""
+    if interpret is None:
+        interpret = default_interpret()
+    out = _depth_call(
+        feat, meta, alpha_threshold=float(alpha_threshold),
+        n_tiles=n_tiles, x_tiles=x_tiles,
+        chunk=chunk, interpret=bool(interpret),
+    )
+    depth = out[0, : n_tiles * cc.PIXELS_PER_TILE]
+    empty = jnp.repeat(~tile_has_output, cc.PIXELS_PER_TILE)
+    depth = jnp.where(empty, -1.0, depth)
+    return depth.reshape(n_tiles, cc.PIXELS_PER_TILE)

@@ -1,0 +1,473 @@
+"""Pallas TPU tile rasterizer: forward + analytic backward, jax.custom_vjp.
+
+TPU-native redesign of the reference CUDA rasterizer
+(src/render.cu, src/render_backward.cu).  Key structural differences from
+the CUDA kernels, driven by the TPU execution model:
+
+- The CUDA kernels parallelise over pixels (one thread each) and loop over
+  splats; here each grid step processes one CHUNK of splats against all 256
+  pixels of a tile as dense (256, CHUNK) vector ops on the VPU, with colour
+  accumulation as an MXU matmul.
+- The sequential per-pixel transmittance recurrence becomes a per-chunk
+  exclusive cumulative product along the splat axis, evaluated as
+  exp(log(1-alpha) @ U_strict) on the MXU, with a (256, 1) carried
+  transmittance column across a tile's chunks.
+- The grid is one-dimensional over *chunks of the flat splat list* (see
+  culling.build_splat_layout): every grid step does real work, per-chunk
+  metadata arrives via scalar prefetch, and a tile's chunks are consecutive
+  so its output block stays resident in VMEM.
+- The backward pass walks front-to-back (not back-to-front like
+  render_backward.cu): per-splat gradients follow from prefix sums of the
+  premultiplied colour, so no atomics are needed; per-splat gradients are
+  reduced over pixels in-kernel and scattered to gaussians by the autodiff
+  transpose of the feature gather (an XLA segment-sum).
+
+Gradient formulas match MATH.md:341-499 and render_backward.cu:120-283.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_splatting_tpu.ops import common as cc
+from gaussian_splatting_tpu.structs import TILE_PX
+
+# per-chunk metadata rows (scalar-prefetched (8, n_chunks) i32 array)
+META_TILE, META_CHUNK_IN_TILE, META_NVALID, META_LAST, META_TX, META_TY = range(6)
+META_ROWS = 8
+
+
+def default_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def build_chunk_meta(layout, x_tiles: int) -> jax.Array:
+    """Pack per-chunk kernel metadata into one (8, n_chunks) i32 array."""
+    tile = layout.tile_of_chunk
+    n_chunks = tile.shape[0]
+    nxt = jnp.concatenate([tile[1:], jnp.full((1,), -1, jnp.int32)])
+    is_last = (tile != nxt).astype(jnp.int32)
+    meta = jnp.zeros((META_ROWS, n_chunks), jnp.int32)
+    meta = meta.at[META_TILE].set(tile)
+    meta = meta.at[META_CHUNK_IN_TILE].set(layout.chunk_in_tile)
+    meta = meta.at[META_NVALID].set(layout.valid_in_chunk)
+    meta = meta.at[META_LAST].set(is_last)
+    meta = meta.at[META_TX].set(tile % x_tiles)
+    meta = meta.at[META_TY].set(tile // x_tiles)
+    return meta
+
+
+def splat_features(uv, opacity, conic, rgb):
+    """Pack per-gaussian render inputs into the (FEAT_ROWS, N) matrix.
+
+    Differentiable; includes the +0.25 diagonal regularisation and the
+    conic[1]/2 halving the CUDA kernels apply inline
+    (src/render.cu:113-121), so the kernels consume a/b/c directly and
+    JAX autodiff chains these affine maps.
+    """
+    n = uv.shape[0]
+    rows = [
+        uv[:, 0],
+        uv[:, 1],
+        opacity[:, 0],
+        conic[:, 0] + 0.25,
+        conic[:, 1] * 0.5,
+        conic[:, 2] + 0.25,
+        rgb[:, 0],
+        rgb[:, 1],
+        rgb[:, 2],
+    ]
+    feat = jnp.stack(rows)
+    return jnp.concatenate(
+        [feat, jnp.zeros((cc.FEAT_ROWS - len(rows), n), feat.dtype)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _pixel_coords(tx, ty, dtype):
+    """(256, 1) u and v pixel-centre coordinates for tile (tx, ty)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (cc.PIXELS_PER_TILE, 1), 0)
+    u = (tx * TILE_PX + p % TILE_PX).astype(dtype)
+    v = (ty * TILE_PX + p // TILE_PX).astype(dtype)
+    return u, v
+
+
+def _alpha_terms(f, upix, vpix, nvalid):
+    """Per splat-pixel alpha math shared by fwd/bwd.  f: (FEAT_ROWS, CHUNK)."""
+    chunk = f.shape[1]
+    u = f[cc.FEAT_U : cc.FEAT_U + 1, :]
+    v = f[cc.FEAT_V : cc.FEAT_V + 1, :]
+    op = f[cc.FEAT_OPACITY : cc.FEAT_OPACITY + 1, :]
+    a = f[cc.FEAT_A : cc.FEAT_A + 1, :]
+    b = f[cc.FEAT_B : cc.FEAT_B + 1, :]
+    c = f[cc.FEAT_C : cc.FEAT_C + 1, :]
+
+    du = upix - u  # (256, CHUNK)
+    dv = vpix - v
+    det = a * c - b * b
+    rdet = 1.0 / det
+    mh = (c * du * du - 2.0 * b * du * dv + a * dv * dv) * rdet
+    prob = jnp.where(mh > 0.0, jnp.exp(-0.5 * mh), 0.0)
+    alpha = op * prob
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    in_count = lane < nvalid
+    at = jnp.where((alpha >= cc.ALPHA_SKIP) & in_count, alpha, 0.0)
+    return dict(
+        du=du, dv=dv, det=det, rdet=rdet, mh=mh, prob=prob, alpha=alpha,
+        at=at, op=op, a=a, b=b, c=c,
+    )
+
+
+def _tri_matrices(chunk, dtype):
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    u_strict = (row < col).astype(dtype)
+    u_incl = (row <= col).astype(dtype)
+    return u_strict, u_incl
+
+
+def _mm(a, b, contract):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _col_to_row(col):
+    """(P, 1) -> (1, P) via an MXU identity contraction (cheap, once/tile)."""
+    p = col.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    eye = (row == coli).astype(col.dtype)
+    return _mm(col, eye, (((0,), (0,))))  # (1, P)
+
+
+def _row_to_col(rowv):
+    p = rowv.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    eye = (row == coli).astype(rowv.dtype)
+    return _mm(eye, rowv, (((1,), (1,))))  # (P, 1)
+
+
+def _log_one_minus(at):
+    return jnp.log1p(-jnp.minimum(at, 0.999999))
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(meta_ref, feat_ref, out_ref, t_col, acc):
+    w = pl.program_id(0)
+    cit = meta_ref[META_CHUNK_IN_TILE, w]
+    nvalid = meta_ref[META_NVALID, w]
+    last = meta_ref[META_LAST, w]
+    tx = meta_ref[META_TX, w]
+    ty = meta_ref[META_TY, w]
+
+    @pl.when(cit == 0)
+    def _():
+        t_col[:] = jnp.ones_like(t_col)
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(nvalid > 0)
+    def _():
+        f = feat_ref[:]
+        chunk = f.shape[1]
+        upix, vpix = _pixel_coords(tx, ty, f.dtype)
+        t = _alpha_terms(f, upix, vpix, nvalid)
+        at = t["at"]
+        loma = _log_one_minus(at)
+        u_strict, _ = _tri_matrices(chunk, f.dtype)
+        # exclusive prefix transmittance within the chunk, times the carry
+        tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+        active = tpref >= cc.T_EPS
+        wgt = jnp.where(active, at * tpref, 0.0)  # (256, CHUNK)
+        rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
+        acc[0:3, :] += _mm(rgb, wgt, (((1,), (1,))))  # (3, 256)
+        t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+
+    @pl.when(last == 1)
+    def _():
+        out_ref[0:3, :] = acc[0:3, :]
+        out_ref[3:4, :] = _col_to_row(t_col[:])
+        out_ref[4:, :] = jnp.zeros_like(out_ref[4:, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
+)
+def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
+    n_splats = feat.shape[1]
+    n_chunks = n_splats // chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (cc.FEAT_ROWS, chunk), lambda w, m: (0, w),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
+            lambda w, m: (0, m[META_TILE, w]),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.OUT_ROWS, cc.PIXELS_PER_TILE), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (cc.OUT_ROWS, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_splats * cc.PIXELS_PER_TILE,
+            bytes_accessed=4 * n_splats * cc.FEAT_ROWS,
+            transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
+        ),
+    )(meta, feat)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(meta_ref, feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
+    w = pl.program_id(0)
+    cit = meta_ref[META_CHUNK_IN_TILE, w]
+    nvalid = meta_ref[META_NVALID, w]
+    tx = meta_ref[META_TX, w]
+    ty = meta_ref[META_TY, w]
+
+    @pl.when(cit == 0)
+    def _():
+        t_col[:] = jnp.ones_like(t_col)
+        pg_col[:] = jnp.zeros_like(pg_col)
+        e_col[:] = _row_to_col(gi_ref[3:4, :])
+
+    f = feat_ref[:]
+    chunk = f.shape[1]
+    upix, vpix = _pixel_coords(tx, ty, f.dtype)
+    t = _alpha_terms(f, upix, vpix, nvalid)
+    at, prob, op = t["at"], t["prob"], t["op"]
+    du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
+    a, b, c = t["a"], t["b"], t["c"]
+
+    loma = _log_one_minus(at)
+    u_strict, u_incl = _tri_matrices(chunk, f.dtype)
+    tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+    active = tpref >= cc.T_EPS
+    mask = active & (at > 0.0)
+    wgt = jnp.where(mask, at * tpref, 0.0)
+
+    g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
+    rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
+    # A[p, s] = sum_ch g[ch, p] * rgb[ch, s]
+    A = _mm(g, rgb, (((0,), (0,))))  # (256, CHUNK)
+    cw = A * wgt
+    pg_incl = pg_col[:] + _mm(cw, u_incl, (((1,), (0,))))
+    # D = sum_ch color_accum * g  (colour behind this splat + background)
+    D = e_col[:] - pg_incl
+
+    alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
+    roma = 1.0 / (1.0 - alpha_cl)
+    galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
+
+    gop_pp = prob * galpha
+    gm = -0.5 * prob * op * galpha  # grad wrt mh_sq
+    common = mh * rdet
+    gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
+    gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
+    ga_pp = (-c * common + dv * dv * rdet) * gm
+    gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
+    gc_pp = (-a * common + du * du * rdet) * gm
+
+    def rowsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    gout_ref[cc.GRAD_U : cc.GRAD_U + 1, :] = rowsum(gu_pp)
+    gout_ref[cc.GRAD_V : cc.GRAD_V + 1, :] = rowsum(gv_pp)
+    gout_ref[cc.GRAD_OPACITY : cc.GRAD_OPACITY + 1, :] = rowsum(gop_pp)
+    gout_ref[cc.GRAD_A : cc.GRAD_A + 1, :] = rowsum(ga_pp)
+    gout_ref[cc.GRAD_B : cc.GRAD_B + 1, :] = rowsum(gb_pp)
+    gout_ref[cc.GRAD_C : cc.GRAD_C + 1, :] = rowsum(gc_pp)
+    # grad rgb: the reference uses the clamped alpha here
+    # (render_backward.cu:193-196)
+    w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
+    gout_ref[cc.GRAD_R : cc.GRAD_B_COL + 1, :] = _mm(g, w_cl, (((1,), (0,))))
+    gout_ref[cc.GRAD_B_COL + 1 :, :] = jnp.zeros_like(
+        gout_ref[cc.GRAD_B_COL + 1 :, :]
+    )
+
+    # carries
+    t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+    pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
+)
+def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
+    n_splats = feat.shape[1]
+    n_chunks = n_splats // chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (cc.FEAT_ROWS, chunk), lambda w, m: (0, w),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
+                lambda w, m: (0, m[META_TILE, w]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (cc.GRAD_ROWS, chunk), lambda w, m: (0, w),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (cc.GRAD_ROWS, n_splats), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=80 * n_splats * cc.PIXELS_PER_TILE,
+            bytes_accessed=8 * n_splats * cc.FEAT_ROWS,
+            transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
+        ),
+    )(meta, feat, gi)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+def _finish(premul_t, background_rgb, n_tiles, empty_tile):
+    """Mask never-visited tiles and blend the background.
+
+    premul_t: raw kernel output (OUT_ROWS, (n_tiles+1)*256).
+    Returns (img rows 0..2 incl. background, T row 3) as
+    (4, n_tiles*256).
+    """
+    out = premul_t[:, : n_tiles * cc.PIXELS_PER_TILE]
+    # tiles with zero splats are never visited by the kernel: colour 0, T 1
+    rgb = jnp.where(empty_tile, 0.0, out[0:3, :])
+    T = jnp.where(empty_tile[0], 1.0, out[3, :])
+    bg_w = jnp.where(T > cc.BG_T_EPS, T, 0.0)
+    img = rgb + bg_w[None, :] * background_rgb[:, None]
+    return jnp.concatenate([img, T[None, :]], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _render_core(feat, meta, background_rgb, empty_tile, n_tiles, x_tiles,
+                 chunk, interpret):
+    raw = _render_fwd(
+        feat, meta, n_tiles=n_tiles, x_tiles=x_tiles, chunk=chunk,
+        interpret=interpret,
+    )
+    return _finish(raw, background_rgb, n_tiles, empty_tile)
+
+
+def _render_core_fwd(feat, meta, background_rgb, empty_tile, n_tiles,
+                     x_tiles, chunk, interpret):
+    out = _render_core(
+        feat, meta, background_rgb, empty_tile, n_tiles, x_tiles, chunk,
+        interpret,
+    )
+    return out, (feat, meta, out)
+
+
+def _render_core_bwd(n_tiles, x_tiles, chunk, interpret, res, g_out):
+    feat, meta, out = res
+    img, T = out[0:3, :], out[3, :]
+    g_img, g_t = g_out[0:3, :], g_out[3, :]
+    # E = sum_ch color_total[ch] * g[ch] + g_T * T: the per-pixel suffix
+    # term of grad_alpha.  color_total includes the background blend —
+    # this reproduces the reference's color_accum initialisation
+    # (render_backward.cu:171-181) — and the g_T*T term makes the exposed
+    # transmittance output honestly differentiable (the reference drops it).
+    e_row = jnp.sum(img * g_img, axis=0) + g_t * T
+    pad = (n_tiles + 1) * cc.PIXELS_PER_TILE - e_row.shape[0]
+    gi = jnp.concatenate([g_img, e_row[None, :]], axis=0)
+    gi = jnp.pad(gi, ((0, cc.OUT_ROWS - 4), (0, pad)))
+    gfeat = _render_bwd(
+        feat, meta, gi, n_tiles=n_tiles, x_tiles=x_tiles, chunk=chunk,
+        interpret=interpret,
+    )
+    bg_w = jnp.where(T > cc.BG_T_EPS, T, 0.0)
+    g_bg = jnp.sum(g_img * bg_w[None, :], axis=1)
+    gmeta = np.zeros(meta.shape, jax.dtypes.float0)
+    g_empty = np.zeros((1, n_tiles * cc.PIXELS_PER_TILE), jax.dtypes.float0)
+    return gfeat, gmeta, g_bg, g_empty
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+def render_tiles(
+    feat: jax.Array,
+    meta: jax.Array,
+    background_rgb: jax.Array,
+    tile_has_output: jax.Array,
+    *,
+    n_tiles: int,
+    x_tiles: int,
+    chunk: int,
+    interpret: bool | None = None,
+):
+    """Rasterize packed splat features into per-tile pixels.
+
+    feat: (FEAT_ROWS, S) splat-ordered features (see `splat_features`,
+          gathered through the layout's gaussian_idx).
+    meta: (8, S/chunk) i32 chunk metadata (see `build_chunk_meta`).
+    Returns (image incl. background (n_tiles, 256, 3),
+             final transmittance (n_tiles, 256)).
+
+    Differentiable in feat and background_rgb via custom_vjp; the feature
+    gather's autodiff transpose scatter-adds per-splat gradients back to
+    gaussians (replacing the CUDA warp-reduce + atomicAdd,
+    render_backward.cu:238-282).
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    empty_tile = jnp.repeat(~tile_has_output, cc.PIXELS_PER_TILE)[None, :]
+    out = _render_core(
+        feat, meta, background_rgb,
+        jax.lax.stop_gradient(empty_tile),
+        n_tiles, x_tiles, chunk, bool(interpret),
+    )
+    img = out[0:3, :].reshape(3, n_tiles, cc.PIXELS_PER_TILE)
+    T = out[3, :].reshape(n_tiles, cc.PIXELS_PER_TILE)
+    return jnp.moveaxis(img, 0, -1), T

@@ -1,0 +1,176 @@
+"""Full forward rendering pipeline: geometry -> culling -> Pallas rasterizer.
+
+TPU re-design of splat_py/rasterize.py:18-112 ``rasterize``.  Differences:
+the reference boolean-indexes the scene down to the visible subset (dynamic
+shapes); here every stage runs on the full fixed-capacity arrays with a
+visibility mask, and invisible gaussians are excluded by the tile
+assignment, so all shapes are static and the whole pipeline jit-compiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_tpu import geometry as geo
+from gaussian_splatting_tpu.culling import build_splat_layout, frustum_visible
+from gaussian_splatting_tpu.ops import common as cc
+from gaussian_splatting_tpu.ops.depth import depth_features, render_depth_tiles
+from gaussian_splatting_tpu.ops.render import (
+    build_chunk_meta,
+    render_tiles,
+    splat_features,
+)
+from gaussian_splatting_tpu.ops.reference_impl import tiles_to_image
+from gaussian_splatting_tpu.structs import Camera, TileGrid
+
+
+class RenderResult(NamedTuple):
+    image: jax.Array  # (H, W, 3)
+    visible: jax.Array  # (N,) bool — complement of the reference culling_mask
+    uv: jax.Array  # (N, 2) projected centres (all gaussians)
+    transmittance: jax.Array  # (n_tiles, 256)
+    num_splats: jax.Array  # () i32
+    overflow: jax.Array  # () bool
+
+
+def _active_sh_coeffs(n_sh_band: int) -> int:
+    return {0: 1, 1: 4, 2: 9, 3: 16}[n_sh_band]
+
+
+def rasterize(
+    params: dict,
+    alive: jax.Array,
+    camera_T_world: jax.Array,
+    camera: Camera,
+    *,
+    near_thresh: float,
+    far_thresh: float,
+    cull_mask_padding: float,
+    mh_dist: float,
+    background_rgb: jax.Array,
+    n_sh_band: int = 0,
+    use_sh_precompute: bool = True,
+    splat_capacity: int,
+    chunk: int = 256,
+    uv_offset: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> RenderResult:
+    """Render the scene from one camera.
+
+    params: dict of capacity-sized parameter arrays (GaussianScene.params()).
+    uv_offset: optional (N, 2) zeros; gradients wrt it are the uv-space
+      gradients the trainer accumulates for densification (replacing the
+      reference's ``uv.retain_grad()``, splat_py/trainer.py:360).
+    """
+    xyz = params["xyz"]
+    grid = TileGrid(camera.height, camera.width)
+
+    xyz_cam = geo.transform_points(xyz, camera_T_world)
+    uv = geo.project_points(xyz_cam, camera.K)
+    if uv_offset is not None:
+        uv = uv + uv_offset
+    visible = frustum_visible(
+        xyz_cam, uv, (camera.width, camera.height),
+        near_thresh, far_thresh, cull_mask_padding,
+    )
+    visible = visible & alive
+
+    sigma_world = geo.compute_sigma_world(params["quaternion"], params["scale"])
+    J = geo.compute_projection_jacobian(xyz_cam, camera.K)
+    conic = geo.compute_conic(sigma_world, J, camera_T_world)
+
+    layout = build_splat_layout(
+        uv, conic, xyz_cam[:, 2], visible, grid, mh_dist,
+        splat_capacity=splat_capacity, chunk=chunk,
+    )
+    meta = build_chunk_meta(layout, grid.x_tiles)
+
+    n_sh = _active_sh_coeffs(n_sh_band)
+    if n_sh == 1:
+        render_rgb = params["rgb"]
+    elif use_sh_precompute:
+        coeffs = jnp.concatenate(
+            [params["rgb"][:, :, None], params["sh"][:, :, : n_sh - 1]], axis=2
+        )
+        center = geo.camera_center_from_pose(camera_T_world)
+        render_rgb = geo.precompute_rgb_from_sh(coeffs, xyz, center)
+    else:
+        raise NotImplementedError(
+            "per-pixel SH path lands with the SH-mode kernel variant"
+        )
+
+    opacity = jax.nn.sigmoid(params["opacity"])
+    # the DC-path rasterizer scales colour by SH_0 (src/render.cu sh_to_rgb
+    # with N_SH=1); fold it into the features so the kernel stays linear
+    feat_g = splat_features(uv, opacity, conic, render_rgb * geo.SH_0)
+    feat_g = jnp.pad(feat_g, ((0, 0), (0, 1)))  # sentinel column (all-zero)
+    feat = feat_g[:, layout.gaussian_idx]
+
+    img_tiles, T = render_tiles(
+        feat, meta, background_rgb, layout.tile_has_output,
+        n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
+        interpret=interpret,
+    )
+    image = tiles_to_image(img_tiles, grid)
+    return RenderResult(
+        image=image,
+        visible=visible,
+        uv=uv,
+        transmittance=T,
+        num_splats=layout.num_splats,
+        overflow=layout.overflow,
+    )
+
+
+def render_depth(
+    params: dict,
+    alive: jax.Array,
+    camera_T_world: jax.Array,
+    camera: Camera,
+    *,
+    alpha_threshold: float,
+    near_thresh: float,
+    cull_mask_padding: float,
+    mh_dist: float,
+    splat_capacity: int,
+    chunk: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Depth image (H, W, 1); -1 where no splat crosses alpha_threshold.
+
+    Mirrors splat_py/depth.py:17-88 (note: no far-plane cull there).
+    """
+    grid = TileGrid(camera.height, camera.width)
+    xyz_cam = geo.transform_points(params["xyz"], camera_T_world)
+    uv = geo.project_points(xyz_cam, camera.K)
+    visible = frustum_visible(
+        xyz_cam, uv, (camera.width, camera.height),
+        near_thresh, jnp.inf, cull_mask_padding,
+    )
+    visible = visible & alive
+
+    sigma_world = geo.compute_sigma_world(params["quaternion"], params["scale"])
+    J = geo.compute_projection_jacobian(xyz_cam, camera.K)
+    conic = geo.compute_conic(sigma_world, J, camera_T_world)
+
+    layout = build_splat_layout(
+        uv, conic, xyz_cam[:, 2], visible, grid, mh_dist,
+        splat_capacity=splat_capacity, chunk=chunk,
+    )
+    meta = build_chunk_meta(layout, grid.x_tiles)
+
+    opacity = jax.nn.sigmoid(params["opacity"])
+    feat_g = depth_features(uv, opacity, conic, xyz_cam)
+    feat_g = jnp.pad(feat_g, ((0, 0), (0, 1)))
+    feat = feat_g[:, layout.gaussian_idx]
+
+    depth_tiles = render_depth_tiles(
+        feat, meta, layout.tile_has_output, alpha_threshold,
+        n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
+        interpret=interpret,
+    )
+    return tiles_to_image(depth_tiles[..., None], grid)
