@@ -1,0 +1,69 @@
+"""Checkpoint save/restore.
+
+Improves on the reference (which saves only the Gaussians module and loses
+optimizer state, iteration and schedules on resume — trainer.py:454-459,
+colmap_splat.py:56-57): we save the full train state (params, alive mask,
+Adam moments, densify accumulators) plus the iteration counter and RNG key
+as a flat .npz, so resume is exact.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu import optim
+from gaussian_splatting_tpu.trainer import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState, iteration: int, key) -> None:
+    adam = optim.adam_moments(state.opt_state)
+    flat = dict(
+        iteration=np.asarray(iteration),
+        rng_key=np.asarray(key),
+        alive=np.asarray(state.alive),
+        adam_count=np.asarray(adam.count),
+        uv_grad_accum=np.asarray(state.uv_grad_accum),
+        xyz_grad_accum=np.asarray(state.xyz_grad_accum),
+        grad_accum_count=np.asarray(state.grad_accum_count),
+    )
+    for k, v in state.params.items():
+        flat[f"param.{k}"] = np.asarray(v)
+        flat[f"mu.{k}"] = np.asarray(adam.mu[k])
+        flat[f"nu.{k}"] = np.asarray(adam.nu[k])
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, config) -> tuple:
+    """Returns (state, iteration, key)."""
+    z = np.load(path)
+    params = {
+        k[len("param."):]: jnp.asarray(z[k])
+        for k in z.files
+        if k.startswith("param.")
+    }
+    opt = optim.make_optimizer(config)
+    opt_state = opt.init(params)
+    adam = opt_state[0]
+    adam = adam._replace(
+        count=jnp.asarray(z["adam_count"]),
+        mu={k: jnp.asarray(z[f"mu.{k}"]) for k in params},
+        nu={k: jnp.asarray(z[f"nu.{k}"]) for k in params},
+    )
+    opt_state = (adam,) + tuple(opt_state[1:])
+    state = TrainState(
+        params=params,
+        alive=jnp.asarray(z["alive"]),
+        opt_state=opt_state,
+        uv_grad_accum=jnp.asarray(z["uv_grad_accum"]),
+        xyz_grad_accum=jnp.asarray(z["xyz_grad_accum"]),
+        grad_accum_count=jnp.asarray(z["grad_accum_count"]),
+    )
+    return state, int(z["iteration"]), jnp.asarray(z["rng_key"])

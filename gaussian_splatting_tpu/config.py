@@ -15,7 +15,7 @@ from dataclasses import dataclass
 import yaml
 
 
-@dataclass
+@dataclass(frozen=True)
 class SplatConfig:
     # --- dataset / io -----------------------------------------------------
     dataset_path: str = "garden"

@@ -190,15 +190,14 @@ def _window(u, v, radius_tiles, x_tiles, y_tiles):
     return sx, sy, wx, wy
 
 
-def _expand_tier(idx, sx, sy, wx, wy, obb, member, k_cells, x_tiles):
-    """Enumerate up to k_cells window cells for the gaussians in ``idx``.
+def _tier_candidates(sx, sy, wx, wy, obb, member, k_cells, x_tiles):
+    """SAT-test up to k_cells window cells for a tier's gaussians.
 
-    Returns flat (len(idx)*k_cells,) arrays: tile ids (sentinel-invalid
-    where masked) and the source gaussian index.
+    Returns (valid (M, K) bool, tile_id (M, K) i32).  Cell enumeration is
+    tile_x outer / tile_y inner like the reference loops
+    (tile_culling.cu:159-160).
     """
     k = jnp.arange(k_cells, dtype=jnp.int32)
-    # cell k -> (ix, iy) with tile_x outer, tile_y inner like the reference
-    # loops (tile_culling.cu:159-160)
     wy_safe = jnp.maximum(wy, 1)
     ix = k[None, :] // wy_safe[:, None]
     iy = k[None, :] % wy_safe[:, None]
@@ -206,10 +205,7 @@ def _expand_tier(idx, sx, sy, wx, wy, obb, member, k_cells, x_tiles):
     ty = sy[:, None] + iy
     in_window = k[None, :] < (wx * wy)[:, None]
     hit = in_window & member[:, None] & _split_axis_test(obb[:, None, :], tx, ty)
-    tile_id = ty * x_tiles + tx
-    return jnp.where(hit, tile_id, jnp.int32(2**30)).reshape(-1), jnp.broadcast_to(
-        idx[:, None], hit.shape
-    ).reshape(-1)
+    return hit, ty * x_tiles + tx
 
 
 @functools.partial(
@@ -257,61 +253,72 @@ def build_splat_layout(
     k1, k2, k3 = TIER_CELLS
     m2 = min(n, max(TIER_MIN, int(n * TIER_FRACTION[1])))
     m3 = min(n, max(TIER_MIN, int(n * TIER_FRACTION[2])))
+    s_cap = splat_capacity
 
+    # --- pass 1: SAT masks + per-gaussian counts per tier.  Each gaussian
+    # belongs to exactly one tier (by clipped window area); candidates are
+    # compacted by an exact count -> cumsum -> scatter before the sort, so
+    # the sort runs over splat_capacity keys instead of all N*K candidates
+    # (the reference's two-pass count/fill structure,
+    # tile_culling.cu:124-242, re-expressed with static shapes).
     all_idx = jnp.arange(n, dtype=jnp.int32)
-    tiles1, gid1 = _expand_tier(
-        all_idx, sx, sy, wx, wy, obb, visible & (area <= k1), k1, grid.x_tiles
-    )
-
     big_area, big_idx = jax.lax.top_k(area, m2)
     big_idx = big_idx.astype(jnp.int32)
-    sel = lambda arr: arr[big_idx]
-    mem2 = (big_area > k1) & (big_area <= k2)
-    tiles2, gid2 = _expand_tier(
-        big_idx, sel(sx), sel(sy), sel(wx), sel(wy), sel(obb), mem2, k2, grid.x_tiles
-    )
-
     huge_idx = big_idx[:m3]
     huge_area = big_area[:m3]
+
+    tiers = []
+    v1, t1 = _tier_candidates(
+        sx, sy, wx, wy, obb, visible & (area <= k1), k1, grid.x_tiles
+    )
+    tiers.append((all_idx, v1, t1))
+    sel = lambda arr: arr[big_idx]
+    v2, t2 = _tier_candidates(
+        sel(sx), sel(sy), sel(wx), sel(wy), sel(obb),
+        (big_area > k1) & (big_area <= k2), k2, grid.x_tiles,
+    )
+    tiers.append((big_idx, v2, t2))
     selh = lambda arr: arr[huge_idx]
-    mem3 = huge_area > k2
-    tiles3, gid3 = _expand_tier(
-        huge_idx,
-        selh(sx),
-        selh(sy),
-        selh(wx),
-        selh(wy),
-        selh(obb),
-        mem3,
-        k3,
-        grid.x_tiles,
+    v3, t3 = _tier_candidates(
+        selh(sx), selh(sy), selh(wx), selh(wy), selh(obb),
+        huge_area > k2, k3, grid.x_tiles,
     )
-    # tier-3 gaussians whose window exceeds k3 cells lose their tail cells;
-    # gaussians bigger than k1 that did not make the top-m2 cut are dropped.
+    tiers.append((huge_idx, v3, t3))
+
+    # tier-3 gaussians with windows beyond k3 cells lose their tail cells;
+    # gaussians bigger than k1 that miss the top-m2 cut are dropped entirely
     tier_overflow = (jnp.sum((area > k1).astype(jnp.int32)) > m2) | jnp.any(
-        mem3 & (huge_area > k3)
+        (huge_area > k2) & (huge_area > k3)
     )
 
-    cand_tile = jnp.concatenate([tiles1, tiles2, tiles3])
-    cand_gid = jnp.concatenate([gid1, gid2, gid3])
-    cand_z = z_camera[cand_gid]
-
-    sort_tile, _, sort_gid = jax.lax.sort(
-        (cand_tile, cand_z, cand_gid), num_keys=2, is_stable=False
+    counts = jnp.zeros((n,), jnp.int32)
+    for idx_t, valid_t, _ in tiers:
+        counts = counts.at[idx_t].add(jnp.sum(valid_t, axis=1, dtype=jnp.int32))
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
-
-    s_cap = splat_capacity
-    num_cand = cand_tile.shape[0]
-    valid_total = jnp.sum((cand_tile < n_tiles).astype(jnp.int32))
+    valid_total = offsets[n]
     overflow = tier_overflow | (valid_total > s_cap)
 
-    if num_cand >= s_cap:
-        sort_tile = sort_tile[:s_cap]
-        sort_gid = sort_gid[:s_cap]
-    else:
-        pad = s_cap - num_cand
-        sort_tile = jnp.pad(sort_tile, (0, pad), constant_values=2**30)
-        sort_gid = jnp.pad(sort_gid, (0, pad))
+    # --- pass 2: scatter candidates into the compact array
+    sort_tile = jnp.full((s_cap,), 2**30, jnp.int32)
+    sort_gid = jnp.full((s_cap,), n, jnp.int32)
+    for idx_t, valid_t, tile_t in tiers:
+        rank = jnp.cumsum(valid_t, axis=1, dtype=jnp.int32) - valid_t
+        dest = offsets[idx_t][:, None] + rank
+        dest = jnp.where(valid_t, dest, s_cap).reshape(-1)
+        sort_tile = sort_tile.at[dest].set(
+            tile_t.reshape(-1), mode="drop", unique_indices=True
+        )
+        sort_gid = sort_gid.at[dest].set(
+            jnp.broadcast_to(idx_t[:, None], valid_t.shape).reshape(-1),
+            mode="drop", unique_indices=True,
+        )
+
+    sort_z = z_camera[jnp.minimum(sort_gid, n - 1)]
+    sort_tile, _, sort_gid = jax.lax.sort(
+        (sort_tile, sort_z, sort_gid), num_keys=2, is_stable=False
+    )
 
     valid = sort_tile < n_tiles
     sort_tile = jnp.where(valid, sort_tile, n_tiles)

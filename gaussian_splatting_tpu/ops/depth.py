@@ -19,13 +19,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.render import (
-    META_CHUNK_IN_TILE,
-    META_LAST,
-    META_NVALID,
-    META_TX,
-    META_TY,
-    META_TILE,
     _alpha_terms,
+    _chunk_scalars,
     _col_to_row,
     _log_one_minus,
     _pixel_coords,
@@ -56,16 +51,14 @@ def depth_features(uv, opacity, conic, xyz_camera):
     )
 
 
-def _depth_kernel(alpha_threshold, meta_ref, feat_ref, out_ref, t_col,
-                  depth_col, found_col):
+def _depth_kernel(alpha_threshold, chunk_len, x_tiles, toc_ref, info_ref,
+                  feat_ref, out_ref, t_col, depth_col, found_col):
     w = pl.program_id(0)
-    cit = meta_ref[META_CHUNK_IN_TILE, w]
-    nvalid = meta_ref[META_NVALID, w]
-    last = meta_ref[META_LAST, w]
-    tx = meta_ref[META_TX, w]
-    ty = meta_ref[META_TY, w]
+    _, first, last, nvalid, tx, ty = _chunk_scalars(
+        toc_ref, info_ref, w, chunk_len, x_tiles
+    )
 
-    @pl.when(cit == 0)
+    @pl.when(first)
     def _():
         t_col[:] = jnp.ones_like(t_col)
         depth_col[:] = jnp.full_like(depth_col, -1.0)
@@ -101,7 +94,7 @@ def _depth_kernel(alpha_threshold, meta_ref, feat_ref, out_ref, t_col,
         )
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
 
-    @pl.when(last == 1)
+    @pl.when(last)
     def _():
         out_ref[0:1, :] = _col_to_row(depth_col[:])
         out_ref[1:, :] = jnp.zeros_like(out_ref[1:, :])
@@ -122,20 +115,21 @@ def _mm_cached(a, b):
 )
 def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
                 interpret):
+    toc, tile_info = meta
     n_splats = feat.shape[1]
     n_chunks = n_splats // chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda w, m: (0, w),
+                (cc.FEAT_ROWS, chunk), lambda w, toc, info: (0, w),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (8, cc.PIXELS_PER_TILE),
-            lambda w, m: (0, m[META_TILE, w]),
+            lambda w, toc, info: (0, toc[w]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -144,7 +138,9 @@ def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
         ],
     )
-    kernel = functools.partial(_depth_kernel, float(alpha_threshold))
+    kernel = functools.partial(
+        _depth_kernel, float(alpha_threshold), chunk, x_tiles
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -152,7 +148,7 @@ def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
             (8, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
         ),
         interpret=interpret,
-    )(meta, feat)
+    )(toc, tile_info, feat)
 
 
 def render_depth_tiles(

@@ -38,29 +38,45 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.structs import TILE_PX
 
-# per-chunk metadata rows (scalar-prefetched (8, n_chunks) i32 array)
-META_TILE, META_CHUNK_IN_TILE, META_NVALID, META_LAST, META_TX, META_TY = range(6)
-META_ROWS = 8
+# per-tile info rows (scalar-prefetched (2, n_tiles+1) i32 array);
+# per-chunk metadata is the (n_chunks,) tile_of_chunk array.  Keeping the
+# SMEM footprint to n_chunks + 2*n_tiles scalars (the first draft prefetched
+# 8 rows per chunk and blew the ~1MB SMEM budget at 8M-splat capacity).
+INFO_COUNT, INFO_CHUNK_OFFSET = 0, 1
 
 
 def default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def build_chunk_meta(layout, x_tiles: int) -> jax.Array:
-    """Pack per-chunk kernel metadata into one (8, n_chunks) i32 array."""
-    tile = layout.tile_of_chunk
-    n_chunks = tile.shape[0]
-    nxt = jnp.concatenate([tile[1:], jnp.full((1,), -1, jnp.int32)])
-    is_last = (tile != nxt).astype(jnp.int32)
-    meta = jnp.zeros((META_ROWS, n_chunks), jnp.int32)
-    meta = meta.at[META_TILE].set(tile)
-    meta = meta.at[META_CHUNK_IN_TILE].set(layout.chunk_in_tile)
-    meta = meta.at[META_NVALID].set(layout.valid_in_chunk)
-    meta = meta.at[META_LAST].set(is_last)
-    meta = meta.at[META_TX].set(tile % x_tiles)
-    meta = meta.at[META_TY].set(tile // x_tiles)
-    return meta
+def build_chunk_meta(layout, x_tiles: int):
+    """Kernel scalar metadata: (tile_of_chunk (n_chunks,) i32,
+    tile_info (2, n_tiles+1) i32 = [splat count, first chunk id] per tile).
+    """
+    counts = layout.tile_counts  # (n_tiles,)
+    chunk = layout.gaussian_idx.shape[0] // layout.tile_of_chunk.shape[0]
+    tile_chunks = -(-counts // chunk)
+    chunk_offset = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_chunks, dtype=jnp.int32)]
+    )
+    counts_pad = jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)])
+    tile_info = jnp.stack([counts_pad, chunk_offset])
+    return layout.tile_of_chunk, tile_info
+
+
+def _chunk_scalars(toc_ref, info_ref, w, chunk, x_tiles):
+    """Derive per-chunk scalars from the compact SMEM metadata."""
+    n_chunks = toc_ref.shape[0]
+    tile = toc_ref[w]
+    prev_tile = toc_ref[jnp.maximum(w - 1, 0)]
+    next_tile = toc_ref[jnp.minimum(w + 1, n_chunks - 1)]
+    first = jnp.logical_or(w == 0, prev_tile != tile)
+    last = jnp.logical_or(w == n_chunks - 1, next_tile != tile)
+    cit = w - info_ref[INFO_CHUNK_OFFSET, tile]
+    nvalid = jnp.clip(info_ref[INFO_COUNT, tile] - cit * chunk, 0, chunk)
+    tx = jax.lax.rem(tile, jnp.int32(x_tiles))
+    ty = jax.lax.div(tile, jnp.int32(x_tiles))
+    return tile, first, last, nvalid, tx, ty
 
 
 def splat_features(uv, opacity, conic, rgb):
@@ -170,15 +186,14 @@ def _log_one_minus(at):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(meta_ref, feat_ref, out_ref, t_col, acc):
+def _fwd_kernel(chunk, x_tiles, toc_ref, info_ref, feat_ref, out_ref,
+                t_col, acc):
     w = pl.program_id(0)
-    cit = meta_ref[META_CHUNK_IN_TILE, w]
-    nvalid = meta_ref[META_NVALID, w]
-    last = meta_ref[META_LAST, w]
-    tx = meta_ref[META_TX, w]
-    ty = meta_ref[META_TY, w]
+    _, first, last, nvalid, tx, ty = _chunk_scalars(
+        toc_ref, info_ref, w, chunk, x_tiles
+    )
 
-    @pl.when(cit == 0)
+    @pl.when(first)
     def _():
         t_col[:] = jnp.ones_like(t_col)
         acc[:] = jnp.zeros_like(acc)
@@ -200,7 +215,7 @@ def _fwd_kernel(meta_ref, feat_ref, out_ref, t_col, acc):
         acc[0:3, :] += _mm(rgb, wgt, (((1,), (1,))))  # (3, 256)
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
 
-    @pl.when(last == 1)
+    @pl.when(last)
     def _():
         out_ref[0:3, :] = acc[0:3, :]
         out_ref[3:4, :] = _col_to_row(t_col[:])
@@ -211,20 +226,21 @@ def _fwd_kernel(meta_ref, feat_ref, out_ref, t_col, acc):
     jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
 )
 def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
+    toc, tile_info = meta
     n_splats = feat.shape[1]
     n_chunks = n_splats // chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda w, m: (0, w),
+                (cc.FEAT_ROWS, chunk), lambda w, toc, info: (0, w),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-            lambda w, m: (0, m[META_TILE, w]),
+            lambda w, toc, info: (0, toc[w]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -233,7 +249,7 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, chunk, x_tiles),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (cc.OUT_ROWS, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
@@ -244,7 +260,7 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
             bytes_accessed=4 * n_splats * cc.FEAT_ROWS,
             transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
         ),
-    )(meta, feat)
+    )(toc, tile_info, feat)
 
 
 # ---------------------------------------------------------------------------
@@ -252,14 +268,14 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(meta_ref, feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
+def _bwd_kernel(chunk_len, x_tiles, toc_ref, info_ref, feat_ref, gi_ref,
+                gout_ref, t_col, pg_col, e_col):
     w = pl.program_id(0)
-    cit = meta_ref[META_CHUNK_IN_TILE, w]
-    nvalid = meta_ref[META_NVALID, w]
-    tx = meta_ref[META_TX, w]
-    ty = meta_ref[META_TY, w]
+    _, first, _, nvalid, tx, ty = _chunk_scalars(
+        toc_ref, info_ref, w, chunk_len, x_tiles
+    )
 
-    @pl.when(cit == 0)
+    @pl.when(first)
     def _():
         t_col[:] = jnp.ones_like(t_col)
         pg_col[:] = jnp.zeros_like(pg_col)
@@ -328,24 +344,25 @@ def _bwd_kernel(meta_ref, feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
     jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
 )
 def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
+    toc, tile_info = meta
     n_splats = feat.shape[1]
     n_chunks = n_splats // chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda w, m: (0, w),
+                (cc.FEAT_ROWS, chunk), lambda w, toc, info: (0, w),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-                lambda w, m: (0, m[META_TILE, w]),
+                lambda w, toc, info: (0, toc[w]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (cc.GRAD_ROWS, chunk), lambda w, m: (0, w),
+            (cc.GRAD_ROWS, chunk), lambda w, toc, info: (0, w),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -355,7 +372,7 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
         ],
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, chunk, x_tiles),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (cc.GRAD_ROWS, n_splats), jnp.float32
@@ -366,7 +383,7 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
             bytes_accessed=8 * n_splats * cc.FEAT_ROWS,
             transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
         ),
-    )(meta, feat, gi)
+    )(toc, tile_info, feat, gi)
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +445,7 @@ def _render_core_bwd(n_tiles, x_tiles, chunk, interpret, res, g_out):
     )
     bg_w = jnp.where(T > cc.BG_T_EPS, T, 0.0)
     g_bg = jnp.sum(g_img * bg_w[None, :], axis=1)
-    gmeta = np.zeros(meta.shape, jax.dtypes.float0)
+    gmeta = tuple(np.zeros(m.shape, jax.dtypes.float0) for m in meta)
     g_empty = np.zeros((1, n_tiles * cc.PIXELS_PER_TILE), jax.dtypes.float0)
     return gfeat, gmeta, g_bg, g_empty
 

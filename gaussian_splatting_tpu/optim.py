@@ -1,0 +1,93 @@
+"""Optimizer: Adam with per-parameter learning-rate multipliers.
+
+Replaces the reference's torch Adam with six hand-managed parameter groups
+plus 172 lines of moment-state surgery (splat_py/optimizer_manager.py).
+Here the scene is a fixed-capacity pytree, so all "surgery" is a masked
+in-place edit of the optax Adam state (see trainer.adaptive ops):
+
+- delete          -> zero the moments at freed slots
+- clone / split   -> new slots start with zero moments (slots are zeroed
+                     when written)
+- opacity reset   -> zero the opacity leaf's moments
+                     (optimizer_manager.py:44-57)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# per-leaf LR multipliers over base_lr (reference: splat_py/config.py:80-92,
+# optimizer_manager.py:13-42)
+def lr_multipliers(config) -> dict:
+    return dict(
+        xyz=config.xyz_lr_multiplier,
+        quaternion=config.quat_lr_multiplier,
+        scale=config.scale_lr_multiplier,
+        opacity=config.opacity_lr_multiplier,
+        rgb=config.rgb_lr_multiplier,
+        sh=config.sh_lr_multiplier,
+    )
+
+
+def scale_by_leaf(multipliers: dict) -> optax.GradientTransformation:
+    """Scale each named leaf's update by its multiplier."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        scaled = {k: updates[k] * multipliers[k] for k in updates}
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """Adam(base_lr) with per-leaf LR scaling (Adam's direction is invariant
+    to gradient scale, so post-scaling the update == per-group LRs)."""
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        scale_by_leaf(lr_multipliers(config)),
+        optax.scale(-config.base_lr),
+    )
+
+
+def adam_moments(opt_state):
+    """The ScaleByAdamState inside our chain."""
+    return opt_state[0]
+
+
+def replace_adam_moments(opt_state, mu=None, nu=None):
+    adam = opt_state[0]
+    new = adam._replace(
+        mu=mu if mu is not None else adam.mu,
+        nu=nu if nu is not None else adam.nu,
+    )
+    return (new,) + tuple(opt_state[1:])
+
+
+def mask_moments(opt_state, slot_mask: jax.Array, leaves=None):
+    """Zero first/second moments at slots where ``slot_mask`` is True.
+
+    slot_mask: (capacity,) bool.  leaves: iterable of leaf names to touch
+    (None = all).  Mirrors delete/reset moment surgery
+    (optimizer_manager.py:44-57, 92-99).
+    """
+    adam = opt_state[0]
+
+    def zero(leaf_dict):
+        out = dict(leaf_dict)
+        for k, v in leaf_dict.items():
+            if leaves is not None and k not in leaves:
+                continue
+            mask = slot_mask.reshape((-1,) + (1,) * (v.ndim - 1))
+            out[k] = jnp.where(mask, 0.0, v)
+        return out
+
+    return replace_adam_moments(
+        opt_state, mu=zero(adam.mu), nu=zero(adam.nu)
+    )

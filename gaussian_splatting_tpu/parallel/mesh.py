@@ -1,0 +1,142 @@
+"""Multi-chip data-parallel training over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); on TPU the natural
+scale-out axis is data parallelism over cameras: the scene (and optimizer
+state) is replicated, each device renders + differentiates its own camera,
+and gradients are mean-reduced over the ``data`` mesh axis with an ICI
+``psum``.  With one device and batch 1 this reduces exactly to the
+reference's one-camera-per-step semantics.
+
+Gaussian-sharded (model-parallel) rendering is the round-2 axis: shard the
+per-gaussian geometry over a second mesh axis, all_gather the (much
+smaller) surviving splat features for rasterization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gaussian_splatting_tpu import optim
+from gaussian_splatting_tpu.losses import train_loss
+from gaussian_splatting_tpu.rasterize import rasterize
+from gaussian_splatting_tpu.structs import Camera
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (axis,))
+
+
+def _local_loss(params, alive, uv_offset, gt, K, pose, bg, *, config,
+                camera_hw, n_sh_band, interpret):
+    h, w = camera_hw
+    camera = Camera(K=K, width=w, height=h)
+    res = rasterize(
+        params, alive, pose, camera,
+        near_thresh=config.near_thresh,
+        far_thresh=config.far_thresh,
+        cull_mask_padding=config.cull_mask_padding,
+        mh_dist=config.mh_dist,
+        background_rgb=bg,
+        n_sh_band=n_sh_band,
+        use_sh_precompute=config.use_sh_precompute,
+        splat_capacity=config.splat_capacity,
+        chunk=config.chunk,
+        uv_offset=uv_offset,
+        interpret=interpret,
+    )
+    loss, psnr = train_loss(res.image, gt, config.ssim_frac)
+    return loss, (psnr, res.visible)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "camera_hw", "n_sh_band", "mesh", "interpret"),
+)
+def dp_train_step(
+    state,
+    gt_batch: jax.Array,  # (D, H, W, 3)
+    K_batch: jax.Array,  # (D, 3, 3)
+    pose_batch: jax.Array,  # (D, 4, 4)
+    bg_batch: jax.Array,  # (D, 3)
+    *,
+    config,
+    camera_hw: tuple,
+    n_sh_band: int,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """One data-parallel step: D cameras, one per device, grads psum-averaged.
+
+    ``state`` must be replicated across the mesh; batches sharded on axis 0.
+    """
+    cap = state.alive.shape[0]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=P(),
+    )
+    def sharded(state, gt, K, pose, bg):
+        uv_zero = jnp.zeros((cap, 2), jnp.float32)
+        grad_fn = jax.value_and_grad(
+            functools.partial(
+                _local_loss, config=config, camera_hw=camera_hw,
+                n_sh_band=n_sh_band, interpret=interpret,
+            ),
+            argnums=(0, 2),
+            has_aux=True,
+        )
+        (loss, (psnr, visible)), (gparams, g_uv) = grad_fn(
+            state.params, state.alive, uv_zero, gt[0], K[0], pose[0], bg[0]
+        )
+        # mean-reduce over the data axis (ICI collective)
+        gparams = jax.lax.pmean(gparams, "data")
+        loss = jax.lax.pmean(loss, "data")
+        psnr = jax.lax.pmean(psnr, "data")
+
+        opt = optim.make_optimizer(config)
+        updates, opt_state = opt.update(
+            gparams, state.opt_state, state.params
+        )
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+
+        # densify stats: per-device accumulation summed over cameras,
+        # matching the reference's per-view accumulation semantics
+        fxfy = jnp.stack([K[0, 0, 0], K[0, 1, 1]])
+        uv_grad = jnp.abs(g_uv * fxfy[None, :]) * visible[:, None]
+        uv_grad = jax.lax.psum(uv_grad, "data")
+        # gparams is already pmean-reduced (replicated) — no second psum
+        xyz_grad = jnp.abs(gparams["xyz"])
+        seen = jax.lax.psum(visible.astype(jnp.int32), "data")
+
+        new_state = state._replace(
+            params=params,
+            opt_state=opt_state,
+            uv_grad_accum=state.uv_grad_accum + uv_grad,
+            xyz_grad_accum=state.xyz_grad_accum + xyz_grad,
+            grad_accum_count=state.grad_accum_count + seen,
+        )
+        return new_state, loss, psnr
+
+    return sharded(state, gt_batch, K_batch, pose_batch, bg_batch)
+
+
+def replicate_state(state, mesh: Mesh):
+    """Place a TrainState replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def shard_batch(batch, mesh: Mesh):
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.device_put(batch, sharding)

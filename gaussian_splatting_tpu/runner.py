@@ -1,0 +1,232 @@
+"""Host-side training loop driver.
+
+Owns scheduling (which iteration evaluates / densifies / resets opacity /
+adds an SH band / checkpoints), mirroring SplatTrainer.train()
+(splat_py/trainer.py:389-463); all device math lives in trainer.py's
+jitted functions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu import checkpoint as ckpt
+from gaussian_splatting_tpu import trainer as T
+from gaussian_splatting_tpu.config import SplatConfig
+from gaussian_splatting_tpu.dataio.dataset import SceneData, create_scene
+from gaussian_splatting_tpu.structs import GSMetricsLog
+
+
+def derive_capacity(n_points: int, config: SplatConfig) -> int:
+    if config.gaussian_capacity > 0:
+        return config.gaussian_capacity
+    cap = 1 << max(int(np.ceil(np.log2(max(n_points * 8, 1024)))), 10)
+    return min(cap, 1 << int(np.ceil(np.log2(config.max_gaussians * 1.05))))
+
+
+class TrainingRunner:
+    def __init__(
+        self, data: SceneData, config: SplatConfig, synthetic: bool = False
+    ):
+        self.data = data
+        self.config = config
+        self.synthetic = synthetic
+        self.metrics = GSMetricsLog()
+        self.rng = np.random.default_rng(config.seed)
+        self.key = jax.random.PRNGKey(config.seed)
+
+        capacity = derive_capacity(data.xyz.shape[0], config)
+        print(
+            f"points: {data.xyz.shape[0]}  capacity: {capacity}  "
+            f"splat_capacity: {config.splat_capacity}"
+        )
+        if config.load_checkpoint and config.checkpoint_path:
+            self.state, self.start_iter, self.key = ckpt.load_checkpoint(
+                config.checkpoint_path, config
+            )
+        else:
+            scene = create_scene(data, config, capacity)
+            self.state = T.init_train_state(scene, config)
+            self.start_iter = 0
+
+        # test/train split: every test_split_ratio-th image is test
+        # (trainer.py:30-42)
+        n_img = len(data.images)
+        all_idx = np.arange(n_img)
+        self.test_split = all_idx[:: config.test_split_ratio]
+        self.train_split = np.setdiff1d(all_idx, self.test_split)
+        if len(self.train_split) == 0:
+            self.train_split = all_idx
+
+        self._gt_cache = {}
+        self._synthetic_gt()
+
+    # -- data access --------------------------------------------------------
+
+    def _synthetic_gt(self):
+        """For synthetic runs, render ground truth from a 'secret' scene."""
+        if not self.synthetic:
+            return
+        from gaussian_splatting_tpu.rasterize import rasterize
+        from gaussian_splatting_tpu.structs import Camera
+        from gaussian_splatting_tpu.dataio.dataset import create_scene
+
+        cfg = self.config
+        rng = np.random.default_rng(cfg.seed + 1)
+        secret = create_scene(self.data, cfg, self.data.xyz.shape[0])
+        params = secret.params()
+        params["opacity"] = jnp.full_like(params["opacity"], 2.0)
+        params["scale"] = params["scale"] + jnp.asarray(
+            rng.uniform(0.3, 1.2, params["scale"].shape), jnp.float32
+        )
+        print("rendering synthetic ground-truth images…")
+        for i, im in enumerate(self.data.images):
+            cam_info = self.data.cameras[im.camera_id]
+            cam = Camera(
+                K=jnp.asarray(cam_info.K), width=cam_info.width,
+                height=cam_info.height,
+            )
+            res = rasterize(
+                params, secret.alive, jnp.asarray(im.camera_T_world), cam,
+                near_thresh=cfg.near_thresh, far_thresh=cfg.far_thresh,
+                cull_mask_padding=cfg.cull_mask_padding, mh_dist=cfg.mh_dist,
+                background_rgb=jnp.zeros(3, jnp.float32), n_sh_band=0,
+                splat_capacity=cfg.splat_capacity, chunk=cfg.chunk,
+            )
+            self._gt_cache[i] = np.clip(np.asarray(res.image), 0.0, 1.0)
+
+    def gt_image(self, idx: int) -> np.ndarray:
+        if idx not in self._gt_cache:
+            img = self.data.load_image(idx).astype(np.float32)
+            self._gt_cache[idx] = img / self.config.saturated_pixel_value
+        return self._gt_cache[idx]
+
+    # -- schedule helpers ----------------------------------------------------
+
+    def background_for(self, i: int) -> jnp.ndarray:
+        cfg = self.config
+        if cfg.use_background and i < cfg.use_background_end:
+            return jnp.full(3, float(i % 255) / 255.0, jnp.float32)
+        return jnp.zeros(3, jnp.float32)
+
+    # -- main loop -----------------------------------------------------------
+
+    def evaluate(self, save_images=False, iteration=0):
+        cfg = self.config
+        psnrs, ssims = [], []
+        band = T.sh_band_for_iteration(cfg, iteration)
+        for idx in self.test_split:
+            im = self.data.images[idx]
+            cam = self.data.cameras[im.camera_id]
+            img, psnr, ssim = T.eval_step(
+                self.state, jnp.asarray(self.gt_image(idx)),
+                jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
+                config=cfg, camera_hw=(cam.height, cam.width),
+                n_sh_band=band,
+            )
+            psnrs.append(float(psnr))
+            ssims.append(float(ssim))
+            if save_images:
+                self._save_image(
+                    np.asarray(img), f"iter{iteration}_test_image_{idx}.png"
+                )
+        return float(np.mean(psnrs)), float(np.mean(ssims))
+
+    def _save_image(self, img: np.ndarray, name: str):
+        from PIL import Image
+
+        arr = (np.clip(img, 0, 1) * self.config.saturated_pixel_value).astype(
+            np.uint8
+        )
+        Image.fromarray(arr).save(os.path.join(self.config.output_dir, name))
+
+    def train(self):
+        cfg = self.config
+        last_img = None
+        for i in range(self.start_iter, cfg.num_iters):
+            if i % cfg.test_eval_interval == 0:
+                psnr, ssim = self.evaluate(iteration=i)
+                self.metrics.test_psnr.append(psnr)
+                print(f"\tTEST SPLIT PSNR: {psnr:.3f}, SSIM: {ssim:.4f}")
+
+            idx = int(self.rng.choice(self.train_split))
+            im = self.data.images[idx]
+            cam = self.data.cameras[im.camera_id]
+            band = T.sh_band_for_iteration(cfg, i)
+            self.state, info = T.train_step(
+                self.state,
+                jnp.asarray(self.gt_image(idx)),
+                jnp.asarray(cam.K),
+                jnp.asarray(im.camera_T_world),
+                self.background_for(i),
+                config=cfg,
+                camera_hw=(cam.height, cam.width),
+                n_sh_band=band,
+                use_background=bool(
+                    cfg.use_background and i < cfg.use_background_end
+                ),
+            )
+            self.metrics.train_psnr.append(float(info["psnr"]))
+            self.metrics.num_gaussians.append(
+                int(jnp.sum(self.state.alive.astype(jnp.int32)))
+            )
+
+            if i % cfg.print_interval == 0:
+                print(
+                    f"Iter: {i}, PSNR: {float(info['psnr']):.3f}, "
+                    f"N: {self.metrics.num_gaussians[-1]}, "
+                    f"splats: {int(info['num_splats'])}"
+                    + (" OVERFLOW" if bool(info["overflow"]) else "")
+                )
+
+            if (
+                i > cfg.adaptive_control_start
+                and i % cfg.adaptive_control_interval == 0
+                and i < cfg.adaptive_control_end
+            ):
+                self.key, sub = jax.random.split(self.key)
+                self.state, stats = T.adaptive_density_control(
+                    self.state, sub, jnp.float32(i), config=cfg
+                )
+                print(
+                    "  ADC: deleted {} cloned {} split {} alive {}".format(
+                        int(stats["n_deleted"]), int(stats["n_clone"]),
+                        int(stats["n_split"]), int(stats["n_alive"]),
+                    )
+                    + (" CAP-HIT" if bool(stats["cap_hit"]) else "")
+                )
+
+            if (
+                i > cfg.reset_opacity_start
+                and i < cfg.reset_opacity_end
+                and i % cfg.reset_opacity_interval == 0
+            ):
+                print("\t\tResetting opacity")
+                self.state = T.reset_opacity(self.state, config=cfg)
+
+            if (
+                cfg.save_debug_image_interval > 0
+                and i % cfg.save_debug_image_interval == 0
+            ):
+                pass  # debug renders happen at eval time (saves a render)
+
+            if i > 0 and i % cfg.checkpoint_interval == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(cfg.output_dir, f"ckpt_iter_{i}.npz"),
+                    self.state, i, self.key,
+                )
+
+        psnr, ssim = self.evaluate(
+            save_images=True, iteration=cfg.num_iters
+        )
+        self.metrics.test_psnr.append(psnr)
+        print(f"Final PSNR: {psnr:.3f}, SSIM: {ssim:.4f}")
+        ckpt.save_checkpoint(
+            os.path.join(cfg.output_dir, "ckpt_final.npz"),
+            self.state, cfg.num_iters, self.key,
+        )

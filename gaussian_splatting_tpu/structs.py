@@ -30,6 +30,15 @@ TILE_PX = 16
 MAX_SH_COEFFS = 16
 
 
+class GSMetricsLog:
+    """Training metric traces (reference: splat_py/structs.py:7-11)."""
+
+    def __init__(self):
+        self.train_psnr = []
+        self.test_psnr = []
+        self.num_gaussians = []
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Camera:

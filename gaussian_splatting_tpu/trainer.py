@@ -1,0 +1,388 @@
+"""Training: jitted train step, adaptive density control, schedules.
+
+TPU re-design of SplatTrainer (splat_py/trainer.py:15-463) and
+OptimizerManager (splat_py/optimizer_manager.py).  Structural differences:
+
+- the scene is a fixed-capacity pytree with an ``alive`` mask; delete
+  clears slots, clone/split write into free slots (+ zero the Adam moments
+  there) instead of re-allocating tensors and surgically resizing torch
+  optimizer state;
+- the whole train step (render -> loss -> backward -> Adam -> densify-stat
+  accumulation) is one jitted function; uv-space gradients come from an
+  explicit zero ``uv_offset`` argument instead of ``uv.retain_grad()``;
+- host-side code only handles scheduling (which iteration does what),
+  exactly mirroring the reference's interval logic (trainer.py:389-463).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu import optim
+from gaussian_splatting_tpu.config import SplatConfig
+from gaussian_splatting_tpu.geometry import inverse_sigmoid, quaternion_to_rotation
+from gaussian_splatting_tpu.losses import eval_psnr_ssim, train_loss
+from gaussian_splatting_tpu.rasterize import rasterize
+from gaussian_splatting_tpu.structs import Camera, GaussianScene
+
+
+class TrainState(NamedTuple):
+    params: dict
+    alive: jax.Array
+    opt_state: tuple
+    uv_grad_accum: jax.Array  # (C, 2)
+    xyz_grad_accum: jax.Array  # (C, 3)
+    grad_accum_count: jax.Array  # (C,) i32
+
+
+def init_train_state(scene: GaussianScene, config: SplatConfig) -> TrainState:
+    params = scene.params()
+    opt = optim.make_optimizer(config)
+    cap = scene.capacity
+    return TrainState(
+        params=params,
+        alive=scene.alive,
+        opt_state=opt.init(params),
+        uv_grad_accum=jnp.zeros((cap, 2), jnp.float32),
+        xyz_grad_accum=jnp.zeros((cap, 3), jnp.float32),
+        grad_accum_count=jnp.zeros((cap,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train step
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "camera_hw", "n_sh_band", "use_background", "interpret",
+    ),
+)
+def train_step(
+    state: TrainState,
+    gt_image: jax.Array,  # (H, W, 3) float32 in [0, 1]
+    camera_K: jax.Array,
+    camera_T_world: jax.Array,
+    background_rgb: jax.Array,
+    *,
+    config: SplatConfig,
+    camera_hw: tuple,
+    n_sh_band: int,
+    use_background: bool,
+    interpret: Optional[bool] = None,
+):
+    """One optimisation step on one camera (trainer.py:348-387)."""
+    del use_background  # bg value is in background_rgb; kept for cache keys
+    h, w = camera_hw
+    camera = Camera(K=camera_K, width=w, height=h)
+    cap = state.alive.shape[0]
+    uv_zero = jnp.zeros((cap, 2), jnp.float32)
+
+    def loss_fn(params, uv_offset):
+        res = rasterize(
+            params, state.alive, camera_T_world, camera,
+            near_thresh=config.near_thresh,
+            far_thresh=config.far_thresh,
+            cull_mask_padding=config.cull_mask_padding,
+            mh_dist=config.mh_dist,
+            background_rgb=background_rgb,
+            n_sh_band=n_sh_band,
+            use_sh_precompute=config.use_sh_precompute,
+            splat_capacity=config.splat_capacity,
+            chunk=config.chunk,
+            uv_offset=uv_offset,
+            interpret=interpret,
+        )
+        loss, psnr = train_loss(res.image, gt_image, config.ssim_frac)
+        return loss, (psnr, res.visible, res.num_splats, res.overflow)
+
+    (loss, aux), (gparams, g_uv) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params, uv_zero)
+    psnr, visible, num_splats, overflow = aux
+
+    opt = optim.make_optimizer(config)
+    updates, opt_state = opt.update(gparams, state.opt_state, state.params)
+    params = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.params, updates
+    )
+
+    # densification statistics (trainer.py:377-385): uv grads scaled to
+    # world-consistent units by fx/fy, abs-accumulated over visible views
+    fxfy = jnp.stack([camera_K[0, 0], camera_K[1, 1]])
+    uv_grad = jnp.abs(g_uv * fxfy[None, :]) * visible[:, None]
+    state = state._replace(
+        params=params,
+        opt_state=opt_state,
+        uv_grad_accum=state.uv_grad_accum + uv_grad,
+        xyz_grad_accum=state.xyz_grad_accum + jnp.abs(gparams["xyz"]),
+        grad_accum_count=state.grad_accum_count + visible.astype(jnp.int32),
+    )
+    return state, dict(
+        loss=loss, psnr=psnr, num_splats=num_splats, overflow=overflow
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval / render for test split
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "camera_hw", "n_sh_band", "interpret"),
+)
+def eval_step(
+    state: TrainState,
+    gt_image: jax.Array,
+    camera_K: jax.Array,
+    camera_T_world: jax.Array,
+    *,
+    config: SplatConfig,
+    camera_hw: tuple,
+    n_sh_band: int,
+    interpret: Optional[bool] = None,
+):
+    """Render one test image and compute PSNR/SSIM (trainer.py:297-346)."""
+    h, w = camera_hw
+    camera = Camera(K=camera_K, width=w, height=h)
+    res = rasterize(
+        state.params, state.alive, camera_T_world, camera,
+        near_thresh=config.near_thresh,
+        far_thresh=config.far_thresh,
+        cull_mask_padding=config.cull_mask_padding,
+        mh_dist=config.mh_dist,
+        background_rgb=jnp.zeros(3, jnp.float32),
+        n_sh_band=n_sh_band,
+        use_sh_precompute=config.use_sh_precompute,
+        splat_capacity=config.splat_capacity,
+        chunk=config.chunk,
+        interpret=interpret,
+    )
+    psnr, ssim_val = eval_psnr_ssim(res.image, gt_image)
+    return res.image, psnr, ssim_val
+
+
+# ---------------------------------------------------------------------------
+# scheduled events: opacity reset, adaptive density control
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def reset_opacity(state: TrainState, *, config: SplatConfig) -> TrainState:
+    """opacity <- inverse_sigmoid(reset value); zero its Adam moments and
+    the densify stats (trainer.py:68-75, optimizer_manager.py:44-57)."""
+    cap = state.alive.shape[0]
+    new_op = jnp.full(
+        (cap, 1), inverse_sigmoid(config.reset_opacity_value), jnp.float32
+    )
+    params = dict(state.params)
+    params["opacity"] = new_op
+    opt_state = optim.mask_moments(
+        state.opt_state, jnp.ones((cap,), bool), leaves=("opacity",)
+    )
+    return state._replace(
+        params=params,
+        opt_state=opt_state,
+        uv_grad_accum=jnp.zeros_like(state.uv_grad_accum),
+        xyz_grad_accum=jnp.zeros_like(state.xyz_grad_accum),
+        grad_accum_count=jnp.zeros_like(state.grad_accum_count),
+    )
+
+
+def _write_slots(params, alive, opt_state, src_idx, dst_idx, write_ok,
+                 overrides=None):
+    """Copy gaussians src_idx -> dst_idx (masked), zero moments at dst.
+
+    overrides: dict leaf -> (n_write, ...) values replacing the copied ones.
+    Out-of-range dst (sentinel) writes are dropped.
+    """
+    cap = alive.shape[0]
+    dst = jnp.where(write_ok, dst_idx, cap)  # cap = dropped by mode="drop"
+    new_params = {}
+    for k, v in params.items():
+        val = v[src_idx] if overrides is None or k not in overrides else overrides[k]
+        new_params[k] = v.at[dst].set(val, mode="drop")
+    alive = alive.at[dst].set(True, mode="drop")
+    slot_mask = jnp.zeros((cap,), bool).at[dst].set(True, mode="drop")
+    opt_state = optim.mask_moments(opt_state, slot_mask)
+    return new_params, alive, opt_state
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def adaptive_density_control(
+    state: TrainState,
+    key: jax.Array,
+    iteration: jax.Array,
+    *,
+    config: SplatConfig,
+):
+    """Delete / clone / split (trainer.py:208-295), fixed-capacity style.
+
+    Returns (state, stats dict).  Clone writes copies into free slots;
+    split overwrites the original slot with sample 1 and writes sample 2
+    into a free slot (equivalent to the reference's delete-original +
+    append-2-samples).
+    """
+    cap = state.alive.shape[0]
+    max_new = cap // 4  # static bound on clones or splits per event
+    params, alive, opt_state = state.params, state.alive, state.opt_state
+    f32max = jnp.float32(jnp.inf)
+
+    uv_norm_accum = jnp.linalg.norm(state.uv_grad_accum, axis=1)
+    count = state.grad_accum_count
+
+    # ---- step 1: delete (trainer.py:215-229)
+    keep = params["opacity"][:, 0] > inverse_sigmoid(
+        config.delete_opacity_threshold
+    )
+    keep &= count > 0
+    keep &= uv_norm_accum > 0.0
+    n_deleted = jnp.sum((alive & ~keep).astype(jnp.int32))
+    if config.use_delete:
+        freed = alive & ~keep
+        alive = alive & keep
+        opt_state = optim.mask_moments(opt_state, freed)
+
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    skip_densify = n_alive > config.max_gaussians
+
+    # ---- step 2: densify signals (trainer.py:237-255)
+    cnt = jnp.maximum(count, 1).astype(jnp.float32)[:, None]
+    uv_grad_avg = state.uv_grad_accum / cnt
+    xyz_grad_avg = state.xyz_grad_accum / cnt
+    uv_avg_norm = jnp.linalg.norm(uv_grad_avg, axis=1)
+
+    if config.use_fractional_densification:
+        if config.use_adaptive_fractional_densification:
+            scale_factor = (
+                (config.adaptive_control_end - iteration.astype(jnp.float32))
+                / (config.adaptive_control_end - config.adaptive_control_start)
+                * 2.0
+            )
+        else:
+            scale_factor = jnp.float32(1.0)
+        uv_pct = 1.0 - (1.0 - config.uv_grad_percentile) * scale_factor
+        masked = jnp.where(alive, uv_avg_norm, jnp.nan)
+        uv_split_val = jnp.nanquantile(masked, jnp.clip(uv_pct, 0.0, 1.0))
+    else:
+        uv_split_val = jnp.float32(config.uv_grad_threshold)
+    densify = alive & (uv_avg_norm > uv_split_val) & ~skip_densify
+
+    scale_max = jnp.max(jnp.exp(params["scale"]), axis=1)
+    clone_mask = densify & (scale_max <= config.clone_scale_threshold)
+    n_clone = jnp.sum(clone_mask.astype(jnp.int32))
+
+    # ---- step 2.1: clone (trainer.py:123-161)
+    free_idx = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
+    if config.use_clone:
+        src = jnp.nonzero(clone_mask, size=max_new, fill_value=cap)[0]
+        src_safe = jnp.minimum(src, cap - 1)
+        ok = (src < cap) & (free_idx < cap)
+        overrides = dict(
+            xyz=params["xyz"][src_safe]
+            - xyz_grad_avg[src_safe] * 0.01
+        )
+        params, alive, opt_state = _write_slots(
+            params, alive, opt_state, src_safe, free_idx, ok, overrides
+        )
+        # clones inherit the densify flag and scale (trainer.py:268-271)
+        densify = densify.at[jnp.where(ok, free_idx, cap)].set(
+            densify[src_safe], mode="drop"
+        )
+        scale_max = scale_max.at[jnp.where(ok, free_idx, cap)].set(
+            scale_max[src_safe], mode="drop"
+        )
+
+    # ---- step 2.2: split (trainer.py:163-206, 274-293)
+    split_mask = densify & (scale_max > config.clone_scale_threshold)
+    if config.use_adaptive_fractional_densification:
+        scale_factor = (
+            (config.adaptive_control_end - iteration.astype(jnp.float32))
+            / (config.adaptive_control_end - config.adaptive_control_start)
+            * 2.0
+        )
+    else:
+        scale_factor = jnp.float32(1.0)
+    scale_pct = 1.0 - (1.0 - config.scale_norm_percentile) * scale_factor
+    masked_scale = jnp.where(alive, scale_max, jnp.nan)
+    scale_split = jnp.nanquantile(masked_scale, jnp.clip(scale_pct, 0.0, 1.0))
+    split_mask |= alive & (scale_max > scale_split) & ~skip_densify
+    split_mask &= alive
+    n_split = jnp.sum(split_mask.astype(jnp.int32))
+
+    if config.use_split:
+        assert config.num_split_samples == 2, (
+            "fixed-capacity split implements the default 2 samples"
+        )
+        src = jnp.nonzero(split_mask, size=max_new, fill_value=cap)[0]
+        src_safe = jnp.minimum(src, cap - 1)
+        # free slots after cloning
+        free_idx2 = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
+        ok = (src < cap) & (free_idx2 < cap)
+
+        def sample(k):
+            r = jax.random.uniform(k, (max_new, 3), jnp.float32)
+            scales = jnp.exp(params["scale"][src_safe])
+            quat = params["quaternion"][src_safe]
+            quat = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
+            rot = quaternion_to_rotation(quat)
+            return params["xyz"][src_safe] + jnp.einsum(
+                "nij,nj->ni", rot, r * scales
+            )
+
+        k1, k2 = jax.random.split(key)
+        new_scale = jnp.log(
+            jnp.exp(params["scale"][src_safe]) / config.split_scale_factor
+        )
+        # sample 1 overwrites the original slot
+        ok1 = src < cap
+        params, alive, opt_state = _write_slots(
+            params, alive, opt_state, src_safe, src_safe, ok1,
+            overrides=dict(xyz=sample(k1), scale=new_scale),
+        )
+        # sample 2 goes to a free slot
+        params, alive, opt_state = _write_slots(
+            params, alive, opt_state, src_safe, free_idx2, ok,
+            overrides=dict(xyz=sample(k2), scale=new_scale),
+        )
+
+    cap_hit = (
+        (n_clone > max_new)
+        | (n_split > max_new)
+        | (jnp.sum((~alive).astype(jnp.int32)) == 0)
+    )
+    state = state._replace(
+        params=params,
+        alive=alive,
+        opt_state=opt_state,
+        uv_grad_accum=jnp.zeros_like(state.uv_grad_accum),
+        xyz_grad_accum=jnp.zeros_like(state.xyz_grad_accum),
+        grad_accum_count=jnp.zeros_like(state.grad_accum_count),
+    )
+    stats = dict(
+        n_deleted=n_deleted,
+        n_clone=n_clone,
+        n_split=n_split,
+        n_alive=jnp.sum(alive.astype(jnp.int32)),
+        uv_split_val=uv_split_val,
+        skip_densify=skip_densify,
+        cap_hit=cap_hit,
+    )
+    return state, stats
+
+
+def sh_band_for_iteration(config: SplatConfig, iteration: int) -> int:
+    """The active SH band at an iteration under the add-band schedule
+    (trainer.py:445-446: a band is added every add_sh_band_interval)."""
+    if config.max_sh_band == 0:
+        return 0
+    return min(iteration // config.add_sh_band_interval, config.max_sh_band)

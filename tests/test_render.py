@@ -1,0 +1,105 @@
+"""Golden-pixel forward tests for the full rasterize pipeline.
+
+Values pinned by the reference CUDA implementation (test/test_rasterize.py,
+test/test_depth.py) on the shared 6-gaussian fixture.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.rasterize import rasterize, render_depth
+from tests import fixtures as fx
+
+CAP = 1 << 18
+
+
+@pytest.fixture
+def scene():
+    return fx.test_scene(opacity_presigmoid=True)
+
+
+def _render(scene, n_sh_band=0, sh=None, background=None):
+    params = scene.params()
+    if sh is not None:
+        params = dict(params)
+        params["sh"] = params["sh"].at[:6, :, : sh.shape[2]].set(sh)
+    bg = background if background is not None else jnp.zeros(3, jnp.float32)
+    return rasterize(
+        params, scene.alive, fx.test_camera_T_world(), fx.test_camera(),
+        near_thresh=0.3, far_thresh=100.0, cull_mask_padding=10.0,
+        mh_dist=3.0, background_rgb=bg, n_sh_band=n_sh_band,
+        splat_capacity=CAP, chunk=256,
+    )
+
+
+def test_rasterize_no_sh(scene):
+    res = _render(scene)
+    img = np.asarray(res.image)
+    assert img.shape == (480, 640, 3)
+    # near red gaussian centre (test_rasterize.py:47-49)
+    np.testing.assert_allclose(
+        img[340, 348], [0.47698545455932617, 0.0, 0.0], atol=1e-5
+    )
+    # red/blue overlap, blue in front (test_rasterize.py:52-54)
+    np.testing.assert_allclose(
+        img[200, 348],
+        [0.03330837935209274, 0.0, 0.267561137676239],
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.visible), [False, False, False, True, True, True]
+    )
+
+
+def test_rasterize_full_sh_precompute(scene):
+    """SH-precompute render against self-goldens (standard SH basis).
+
+    NOTE: the reference's own golden values for this test
+    (test_rasterize.py:85-92) do NOT match its shipped SH header: they were
+    generated with the band-1 variant of analytic_diff.ipynb cell 24
+    (basis (-x, +y, -z) against coefficients 1..3) while
+    src/spherical_harmonics.cuh:7-11 ships the standard real-SH ordering
+    ((-y, +z, -x)).  Both golden pixels are reproduced to 4+ decimals under
+    the notebook variant (sum(basis[1:]) = 0.6214 / 1.2706 at the two
+    fixture view dirs) and are off by ~1.0 under the shipped header.  We
+    implement the shipped header (standard basis — what the published
+    training results used) and pin values cross-checked against the f64
+    jnp oracle.
+    """
+    sh = jnp.full((6, 3, 15), 0.1, jnp.float32)
+    res = _render(scene, n_sh_band=3, sh=sh)
+    img = np.asarray(res.image)
+    np.testing.assert_allclose(
+        img[340, 348],
+        [0.63314533, 0.15615983, 0.15615983],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        img[200, 348],
+        [0.17941597, 0.14610565, 0.41366684],
+        atol=1e-5,
+    )
+
+
+def test_background_blend(scene):
+    bg = jnp.array([0.25, 0.5, 0.75], jnp.float32)
+    res = _render(scene, background=bg)
+    img = np.asarray(res.image)
+    # a pixel far from all splats is pure background
+    np.testing.assert_allclose(img[470, 10], [0.25, 0.5, 0.75], atol=1e-6)
+
+
+def test_render_depth(scene):
+    depth = render_depth(
+        scene.params(), scene.alive, fx.test_camera_T_world(),
+        fx.test_camera(), alpha_threshold=0.2, near_thresh=0.3,
+        cull_mask_padding=10.0, mh_dist=3.0, splat_capacity=CAP, chunk=256,
+    )
+    d = np.asarray(depth)
+    assert d.shape == (480, 640, 1)
+    # (test_depth.py:32-36)
+    np.testing.assert_allclose(d[340, 348, 0], 17.29551887512207, atol=1e-4)
+    np.testing.assert_allclose(d[200, 348, 0], 13.205718040466309, atol=1e-4)
+    # never-crossed pixels stay -1
+    assert d[470, 10, 0] == -1.0

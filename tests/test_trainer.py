@@ -1,0 +1,123 @@
+"""End-to-end trainer smoke tests on CPU (interpret-mode kernels).
+
+Checks the jitted train step optimises the fixture scene, and that
+adaptive density control edits slots coherently.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu import trainer as T
+from gaussian_splatting_tpu.config import SplatConfig
+from gaussian_splatting_tpu.geometry import inverse_sigmoid
+from tests import fixtures as fx
+
+CFG = SplatConfig(splat_capacity=1 << 17, chunk=256)
+CAM_HW = (480, 640)
+
+
+@pytest.fixture
+def setup():
+    scene = fx.test_scene(opacity_presigmoid=True, capacity=16)
+    state = T.init_train_state(scene, CFG)
+    cam = fx.test_camera()
+    pose = fx.test_camera_T_world()
+    # target: the scene's own render, so gradients should be ~0 at optimum
+    from gaussian_splatting_tpu.rasterize import rasterize
+
+    res = rasterize(
+        scene.params(), scene.alive, pose, cam,
+        near_thresh=CFG.near_thresh, far_thresh=CFG.far_thresh,
+        cull_mask_padding=CFG.cull_mask_padding, mh_dist=CFG.mh_dist,
+        background_rgb=jnp.zeros(3, jnp.float32), n_sh_band=0,
+        splat_capacity=CFG.splat_capacity, chunk=CFG.chunk,
+    )
+    gt = jnp.clip(res.image, 0.0, 1.0)
+    return state, gt, cam, pose
+
+
+def test_train_step_reduces_loss(setup):
+    state, gt, cam, pose = setup
+    # perturb the scene so there is something to optimise
+    params = dict(state.params)
+    params["rgb"] = params["rgb"] * 0.5
+    state = state._replace(params=params)
+
+    losses = []
+    for _ in range(8):
+        state, info = T.train_step(
+            state, gt, cam.K, pose, jnp.zeros(3, jnp.float32),
+            config=CFG, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
+        )
+        losses.append(float(info["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert np.isfinite(losses).all()
+    # densify stats only accumulate on visible gaussians (g1 projects just
+    # outside the image but within the 100px cull padding, so it counts —
+    # same as the reference's ~culling_mask accounting)
+    counts = np.asarray(state.grad_accum_count)
+    np.testing.assert_array_equal(counts[:6], [0, 8, 0, 8, 8, 8])
+    assert (counts[6:] == 0).all()
+
+
+def test_adaptive_density_control_delete_and_split(setup):
+    state, gt, cam, pose = setup
+    for _ in range(2):
+        state, _ = T.train_step(
+            state, gt, cam.K, pose, jnp.zeros(3, jnp.float32),
+            config=CFG, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
+        )
+    # force gaussian 4 to be "dead" (low opacity) so delete removes it
+    params = dict(state.params)
+    params["opacity"] = params["opacity"].at[4].set(
+        inverse_sigmoid(0.01)
+    )
+    state = state._replace(params=params)
+    n_before = int(jnp.sum(state.alive.astype(jnp.int32)))
+
+    state, stats = T.adaptive_density_control(
+        state, jax.random.PRNGKey(0), jnp.float32(1000.0), config=CFG
+    )
+    # g0/g2 were never seen (count 0), g1 saw views but got no uv gradient,
+    # g4 was forced below the opacity threshold -> 4 deletions
+    assert int(stats["n_deleted"]) == 4
+    alive = np.asarray(state.alive)
+    # survivors (2) plus one net new slot per split (freed slots may be
+    # reused as split targets)
+    assert int(stats["n_alive"]) == 2 + int(stats["n_split"])
+    assert alive.sum() == int(stats["n_alive"])
+    # accumulators reset after ADC (trainer.py:295)
+    assert np.asarray(state.grad_accum_count).sum() == 0
+    # all alive slots have finite params
+    for k, v in state.params.items():
+        assert np.isfinite(np.asarray(v)[alive]).all(), k
+
+
+def test_reset_opacity(setup):
+    state, *_ = setup
+    state = T.reset_opacity(state, config=CFG)
+    op = np.asarray(state.params["opacity"])
+    np.testing.assert_allclose(
+        op, float(inverse_sigmoid(CFG.reset_opacity_value)), atol=1e-5
+    )
+    from gaussian_splatting_tpu import optim
+
+    adam = optim.adam_moments(state.opt_state)
+    assert float(jnp.abs(adam.mu["opacity"]).max()) == 0.0
+    assert float(jnp.abs(adam.nu["opacity"]).max()) == 0.0
+    # other leaves' moments untouched
+    assert float(jnp.abs(adam.mu["rgb"]).max()) >= 0.0
+
+
+def test_sh_band_schedule():
+    cfg = SplatConfig()
+    assert T.sh_band_for_iteration(cfg, 0) == 0
+    assert T.sh_band_for_iteration(cfg, 999) == 0
+    assert T.sh_band_for_iteration(cfg, 1000) == 1
+    assert T.sh_band_for_iteration(cfg, 2500) == 2
+    assert T.sh_band_for_iteration(cfg, 5000) == 3
+    assert T.sh_band_for_iteration(cfg, 6999) == 3
+    cfg0 = SplatConfig(max_sh_band=0)
+    assert T.sh_band_for_iteration(cfg0, 5000) == 0
