@@ -8,21 +8,26 @@ shapes so it jit-compiles for TPU:
    and a clipped candidate tile window, exactly like ``compute_obb``
    (src/tile_culling.cu:69-122).
 2. Instead of a dynamic per-gaussian tile loop, candidate (gaussian, tile)
-   pairs are produced by a *tiered expansion*: all gaussians enumerate up to
-   K1 window cells; the top-M gaussians by window area additionally
-   enumerate up to K2/K3 cells.  Invalid cells (outside the window or
-   failing the separating-axis test, src/tile_culling.cu:8-66) are masked.
-3. One lexicographic ``lax.sort`` over (tile_idx, depth) replaces the fp64
-   key sort ``z + tile_idx * (max_z + 1)`` (src/tile_culling.cu:236-237,
-   327-329); order is identical whenever depths are distinct.
-4. The sorted list is re-scattered into a CHUNK-aligned flat layout so the
-   Pallas rasterizer can walk it with a 1-D chunk grid (see ops/render.py).
+   pairs are produced by a *tiered expansion*: gaussians are routed by
+   clipped window area into tiers with K in (4, 16, 256, 4096) padded cells;
+   invalid cells (outside the window or failing the separating-axis test,
+   src/tile_culling.cu:8-66) key to a sentinel.
+3. ONE lexicographic ``lax.sort`` over all padded (tile_idx, depth, id)
+   candidates replaces the fp64 key sort ``z + tile_idx * (max_z + 1)``
+   (src/tile_culling.cu:236-237, 327-329); invalid cells sink to the tail.
+   Order is identical whenever depths are distinct.
+
+Performance note (the design driver): on TPU, element-wise irregular data
+movement (gather / scatter / segment_sum) lowers to a scalar-core loop at
+~8-10 ms per million indices, while ``lax.sort`` is a data-oblivious
+vectorised network at ~2-3 ms per million elements carrying several operands.
+Everything here therefore rides one big sort over *padded* candidates; the
+only per-splat gather left is the final chunk-aligned regroup (one gather),
+plus the feature gather in the renderer.
 """
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import math
 from typing import NamedTuple
 
@@ -31,14 +36,17 @@ import jax.numpy as jnp
 
 from gaussian_splatting_tpu.structs import TILE_PX, TileGrid
 
-# Tiered expansion limits: (max window cells, fraction of capacity admitted).
-# Tier 1 admits every gaussian; later tiers admit the top gaussians by
-# (clipped) window area.  A gaussian is handled by exactly one tier.
-TIER_CELLS = (16, 256, 4096)
-TIER_FRACTION = (1.0, 1 / 8, 1 / 64)
-# Floor on later-tier capacity so tiny scenes (e.g. the 6-gaussian test
+# Tier cell widths: a gaussian whose clipped window has at most K cells is
+# handled by the first tier with capacity left.  Tier 0 admits every
+# gaussian (4 padded cells); the big-gaussian tiers admit the largest
+# gaussians by window area, with per-frame capacities derived from
+# splat_capacity in build_splat_layout.
+TIER_CELLS = (4, 16, 256, 4096)
+# Floor on big-tier capacities so tiny scenes (e.g. the 6-gaussian test
 # fixture) still route their large gaussians somewhere.
-TIER_MIN = 128
+TIER_MIN = 64
+# Sentinel tile id for invalid candidate cells (sorts after any real tile).
+SENTINEL = jnp.int32(2**30)
 
 
 class SplatLayout(NamedTuple):
@@ -190,28 +198,40 @@ def _window(u, v, radius_tiles, x_tiles, y_tiles):
     return sx, sy, wx, wy
 
 
-def _tier_candidates(sx, sy, wx, wy, obb, member, k_cells, x_tiles):
+def _tier_tiles(sx, sy, wx, wy, obb, member, k_cells, x_tiles):
     """SAT-test up to k_cells window cells for a tier's gaussians.
 
-    Returns (valid (M, K) bool, tile_id (M, K) i32).  Cell enumeration is
-    tile_x outer / tile_y inner like the reference loops
-    (tile_culling.cu:159-160).
+    Returns (K, M) i32 tile ids; cells outside the window / failing the SAT
+    / of non-member columns hold SENTINEL.  Cell enumeration is tile_x outer
+    / tile_y inner like the reference loops (tile_culling.cu:159-160).
+
+    The cell axis is the MAJOR axis on purpose: (M, K) arrays with K ≪ 128
+    get catastrophic TPU layouts (the lane dim underfills), which blew up
+    generated code ~20x and runtime; (K, M) keeps the big M on lanes.
     """
     k = jnp.arange(k_cells, dtype=jnp.int32)
     wy_safe = jnp.maximum(wy, 1)
-    ix = k[None, :] // wy_safe[:, None]
-    iy = k[None, :] % wy_safe[:, None]
-    tx = sx[:, None] + ix
-    ty = sy[:, None] + iy
-    in_window = k[None, :] < (wx * wy)[:, None]
-    hit = in_window & member[:, None] & _split_axis_test(obb[:, None, :], tx, ty)
-    return hit, ty * x_tiles + tx
+    ix = k[:, None] // wy_safe[None, :]
+    iy = k[:, None] % wy_safe[None, :]
+    tx = sx[None, :] + ix
+    ty = sy[None, :] + iy
+    in_window = k[:, None] < (wx * wy)[None, :]
+    hit = in_window & member[None, :] & _split_axis_test(obb[None, :, :], tx, ty)
+    return jnp.where(hit, ty * x_tiles + tx, SENTINEL)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("grid", "splat_capacity", "chunk"),
-)
+def _tier_capacities(n: int, splat_capacity: int):
+    """Per-frame candidate capacities for the big-gaussian tiers.
+
+    Tier 0 (<=4 cells) admits every gaussian.  Each later tier's padded
+    contribution is capped at splat_capacity//2 candidates.
+    """
+    caps = [n]
+    for k in TIER_CELLS[1:]:
+        caps.append(min(n, max(TIER_MIN, splat_capacity // (2 * k))))
+    return tuple(caps)
+
+
 def build_splat_layout(
     uv: jax.Array,
     conic: jax.Array,
@@ -228,6 +248,7 @@ def build_splat_layout(
     """
     n = uv.shape[0]
     n_tiles = grid.tile_count
+    s_cap = splat_capacity
     u, v = uv[:, 0], uv[:, 1]
     a = conic[:, 0] + 0.25
     b = conic[:, 1] * 0.5
@@ -245,107 +266,110 @@ def build_splat_layout(
     a = jnp.where(finite, a, 1.0)
     b = jnp.where(finite, b, 0.0)
     c = jnp.where(finite, c, 1.0)
+    # barrier: stops XLA re-fusing the caller's per-gaussian geometry chain
+    # (sigma/J/conic einsums) into every consumer below (code-size blowup)
+    u, v, a, b, c, z_camera, visible = jax.lax.optimization_barrier(
+        (u, v, a, b, c, z_camera, visible)
+    )
 
     obb, radius_tiles = _obb_and_radius(u, v, a, b, c, mh_dist)
     sx, sy, wx, wy = _window(u, v, radius_tiles, grid.x_tiles, grid.y_tiles)
     area = jnp.where(visible, wx * wy, 0)
 
-    k1, k2, k3 = TIER_CELLS
-    m2 = min(n, max(TIER_MIN, int(n * TIER_FRACTION[1])))
-    m3 = min(n, max(TIER_MIN, int(n * TIER_FRACTION[2])))
-    s_cap = splat_capacity
+    k0 = TIER_CELLS[0]
+    caps = _tier_capacities(n, s_cap)
 
-    # --- pass 1: SAT masks + per-gaussian counts per tier.  Each gaussian
-    # belongs to exactly one tier (by clipped window area); candidates are
-    # compacted by an exact count -> cumsum -> scatter before the sort, so
-    # the sort runs over splat_capacity keys instead of all N*K candidates
-    # (the reference's two-pass count/fill structure,
-    # tile_culling.cu:124-242, re-expressed with static shapes).
-    all_idx = jnp.arange(n, dtype=jnp.int32)
-    big_area, big_idx = jax.lax.top_k(area, m2)
+    # Big gaussians (window > k0 cells), largest first.  Tier membership is
+    # then a contiguous segment of this ordering: descending area means all
+    # tier-i members precede tier-(i-1) members, so each tier takes a
+    # dynamic_slice of static capacity at its boundary.
+    n_big_total = jnp.sum((area > k0).astype(jnp.int32))
+    m_big = min(n, max(TIER_MIN, sum(caps[1:])))
+    big_area, big_idx = jax.lax.top_k(area, m_big)
     big_idx = big_idx.astype(jnp.int32)
-    huge_idx = big_idx[:m3]
-    huge_area = big_area[:m3]
 
-    tiers = []
-    v1, t1 = _tier_candidates(
-        sx, sy, wx, wy, obb, visible & (area <= k1), k1, grid.x_tiles
-    )
-    tiers.append((all_idx, v1, t1))
-    sel = lambda arr: arr[big_idx]
-    v2, t2 = _tier_candidates(
-        sel(sx), sel(sy), sel(wx), sel(wy), sel(obb),
-        (big_area > k1) & (big_area <= k2), k2, grid.x_tiles,
-    )
-    tiers.append((big_idx, v2, t2))
-    selh = lambda arr: arr[huge_idx]
-    v3, t3 = _tier_candidates(
-        selh(sx), selh(sy), selh(wx), selh(wy), selh(obb),
-        huge_area > k2, k3, grid.x_tiles,
-    )
-    tiers.append((huge_idx, v3, t3))
-
-    # tier-3 gaussians with windows beyond k3 cells lose their tail cells;
-    # gaussians bigger than k1 that miss the top-m2 cut are dropped entirely
-    tier_overflow = (jnp.sum((area > k1).astype(jnp.int32)) > m2) | jnp.any(
-        (huge_area > k2) & (huge_area > k3)
-    )
-
-    counts = jnp.zeros((n,), jnp.int32)
-    for idx_t, valid_t, _ in tiers:
-        counts = counts.at[idx_t].add(jnp.sum(valid_t, axis=1, dtype=jnp.int32))
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )
-    valid_total = offsets[n]
-    overflow = tier_overflow | (valid_total > s_cap)
-
-    # --- pass 2: scatter candidates into the compact array
-    sort_tile = jnp.full((s_cap,), 2**30, jnp.int32)
-    sort_gid = jnp.full((s_cap,), n, jnp.int32)
-    for idx_t, valid_t, tile_t in tiers:
-        rank = jnp.cumsum(valid_t, axis=1, dtype=jnp.int32) - valid_t
-        dest = offsets[idx_t][:, None] + rank
-        dest = jnp.where(valid_t, dest, s_cap).reshape(-1)
-        sort_tile = sort_tile.at[dest].set(
-            tile_t.reshape(-1), mode="drop", unique_indices=True
-        )
-        sort_gid = sort_gid.at[dest].set(
-            jnp.broadcast_to(idx_t[:, None], valid_t.shape).reshape(-1),
-            mode="drop", unique_indices=True,
-        )
-
-    sort_z = z_camera[jnp.minimum(sort_gid, n - 1)]
-    sort_tile, _, sort_gid = jax.lax.sort(
-        (sort_tile, sort_z, sort_gid), num_keys=2, is_stable=False
-    )
-
-    valid = sort_tile < n_tiles
-    sort_tile = jnp.where(valid, sort_tile, n_tiles)
-
-    # per-tile counts and chunk-aligned destination offsets
-    ones = valid.astype(jnp.int32)
-    tile_counts = jax.ops.segment_sum(ones, sort_tile, num_segments=n_tiles + 1)[
-        :n_tiles
+    tier_tiles = [
+        _tier_tiles(sx, sy, wx, wy, obb, visible & (area <= k0), k0,
+                    grid.x_tiles)
     ]
+    tier_gid = [jnp.arange(n, dtype=jnp.int32)]
+    dropped = n_big_total > m_big
+    # boundary[i] = #gaussians with area > TIER_CELLS[i]
+    for i, k_cells in enumerate(TIER_CELLS[1:], start=1):
+        k_prev = TIER_CELLS[i - 1]
+        start = jnp.sum((big_area > k_cells).astype(jnp.int32))
+        cap_i = caps[i]
+        idx_i = jax.lax.dynamic_slice(big_idx, (start,), (cap_i,))
+        area_i = jax.lax.dynamic_slice(big_area, (start,), (cap_i,))
+        member = (area_i > k_prev) & (area_i <= k_cells)
+        # segment longer than the tier capacity -> tail members dropped
+        n_member = jnp.sum(
+            ((big_area > k_prev) & (big_area <= k_cells)).astype(jnp.int32)
+        )
+        dropped |= n_member > cap_i
+        sel = lambda arr: arr[idx_i]
+        tier_tiles.append(
+            _tier_tiles(sel(sx), sel(sy), sel(wx), sel(wy), sel(obb),
+                        member, k_cells, grid.x_tiles)
+        )
+        tier_gid.append(idx_i)
+    # gaussians too big for the last tier lose their tail cells
+    dropped |= jnp.any(big_area > TIER_CELLS[-1])
+
+    # ---- ONE sort over all padded candidates: (tile, z, gid).  z and gid
+    # are regular row broadcasts (no gathers).
+    def flat(arrs):
+        return jnp.concatenate([x.reshape(-1) for x in arrs])
+
+    cand_tile = flat(tier_tiles)
+    cand_gid = flat(
+        [
+            jnp.broadcast_to(g[None, :], t.shape)
+            for g, t in zip(tier_gid, tier_tiles)
+        ]
+    )
+    cand_z = flat(
+        [
+            jnp.broadcast_to(z_camera[g][None, :], t.shape)
+            for g, t in zip(tier_gid, tier_tiles)
+        ]
+    )
+    # barrier: without it XLA fuses a copy of the whole SAT/obb producer
+    # chain into each sort operand, bloating generated code several-fold
+    cand_tile, cand_z, cand_gid = jax.lax.optimization_barrier(
+        (cand_tile, cand_z, cand_gid)
+    )
+    sort_tile, _, sort_gid = jax.lax.sort(
+        (cand_tile, cand_z, cand_gid), num_keys=2, is_stable=False
+    )
+    c_cand = sort_tile.shape[0]
+    num_splats = jnp.sum((sort_tile < n_tiles).astype(jnp.int32))
+    overflow = dropped | (num_splats > s_cap)
+    if c_cand < s_cap:
+        sort_tile = jnp.pad(sort_tile, (0, s_cap - c_cand),
+                            constant_values=2**30)
+        sort_gid = jnp.pad(sort_gid, (0, s_cap - c_cand), constant_values=n)
+    else:
+        sort_tile = sort_tile[:s_cap]
+        sort_gid = sort_gid[:s_cap]
+    sort_gid = jnp.where(sort_tile < n_tiles, sort_gid, n)
+
+    # ---- per-tile boundaries via binary search (n_tiles-scale, cheap)
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(sort_tile, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    tile_counts = starts[1:] - starts[:-1]
+    start_of_tile = starts[:-1]
+
     tile_chunks = -(-tile_counts // chunk)  # ceil
     chunk_offset = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_chunks, dtype=jnp.int32)]
     )
-    # rank of each sorted splat within its tile
-    start_of_tile = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_counts, dtype=jnp.int32)]
-    )
-    rank = jnp.arange(s_cap, dtype=jnp.int32) - start_of_tile[sort_tile]
-    dest = chunk_offset[sort_tile] * chunk + rank
-    dest = jnp.where(valid & (dest < s_cap), dest, s_cap)
-    # chunk alignment can inflate past capacity even when valid_total fits
+    # chunk alignment can inflate past capacity even when num_splats fits
     overflow |= chunk_offset[n_tiles] * chunk > s_cap
 
-    gaussian_idx = jnp.full((s_cap + 1,), n, dtype=jnp.int32)
-    gaussian_idx = gaussian_idx.at[dest].set(jnp.where(valid, sort_gid, n))[:s_cap]
-
-    # chunk metadata
+    # ---- chunk metadata (n_chunks-scale, cheap)
     n_chunks = s_cap // chunk
     chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
     used_chunks = chunk_offset[n_tiles]
@@ -354,18 +378,31 @@ def build_splat_layout(
         jnp.arange(n_tiles, dtype=jnp.int32)
         * (tile_chunks > 0)  # only tiles that own chunks place markers
     )
-    # tiles with zero chunks must not move the marker; cummax over starts
     tile_of_chunk = jax.lax.cummax(marker[:n_chunks])
     tile_of_chunk = jnp.where(chunk_ids < used_chunks, tile_of_chunk, n_tiles)
-    chunk_in_tile = chunk_ids - chunk_offset[jnp.minimum(tile_of_chunk, n_tiles - 1)]
+    toc_safe = jnp.minimum(tile_of_chunk, n_tiles - 1)
+    chunk_in_tile = chunk_ids - chunk_offset[toc_safe]
     chunk_in_tile = jnp.where(chunk_ids < used_chunks, chunk_in_tile, 0)
-    remaining = tile_counts[jnp.minimum(tile_of_chunk, n_tiles - 1)] - chunk_in_tile * chunk
+    remaining = tile_counts[toc_safe] - chunk_in_tile * chunk
     valid_in_chunk = jnp.clip(remaining, 0, chunk)
     valid_in_chunk = jnp.where(chunk_ids < used_chunks, valid_in_chunk, 0)
 
     # a tile's block is only written if at least its first chunk is within
     # the (static) chunk array — truncation can only cut the tail tiles
     tile_has_output = (tile_chunks > 0) & (chunk_offset[:n_tiles] < n_chunks)
+
+    # ---- chunk-aligned gaussian list: THE one per-splat gather.  Chunk w
+    # holds the depth-sorted splats
+    # [start_of_tile[t] + cit*chunk, +chunk) of its tile t.
+    chunk_src = start_of_tile[toc_safe] + chunk_in_tile * chunk  # (n_chunks,)
+    src = (chunk_src[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :])
+    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    ok = (tile_of_chunk[:, None] < n_tiles) & (
+        lane < valid_in_chunk[:, None]
+    ) & (src < s_cap)
+    gaussian_idx = jnp.where(
+        ok, sort_gid[jnp.minimum(src, s_cap - 1).reshape(-1)].reshape(src.shape), n
+    ).reshape(-1)
 
     return SplatLayout(
         gaussian_idx=gaussian_idx,
@@ -374,7 +411,7 @@ def build_splat_layout(
         valid_in_chunk=valid_in_chunk,
         tile_counts=tile_counts,
         tile_has_output=tile_has_output,
-        num_splats=valid_total,
+        num_splats=num_splats,
         overflow=overflow,
     )
 

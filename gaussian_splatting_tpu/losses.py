@@ -19,26 +19,42 @@ import numpy as np
 
 @functools.lru_cache
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
+    # cached as numpy (not jnp): a cached device array would leak a tracer
+    # constant from one jit trace into the next
     x = np.arange(size) - (size - 1) / 2.0
     g = np.exp(-(x**2) / (2 * sigma**2))
     g /= g.sum()
-    return jnp.asarray(np.outer(g, g), jnp.float32)
+    return np.outer(g, g).astype(np.float32)
 
 
-def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise 2-D convolution with reflect padding.  img: (H, W, C)."""
-    c = img.shape[-1]
-    k = kernel.shape[0]
-    pad = (k - 1) // 2
-    x = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    x = x.transpose(2, 0, 1)[None]  # (1, C, H, W)
-    w = jnp.broadcast_to(kernel.astype(img.dtype), (c, 1, k, k))
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="VALID",
-        feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return y[0].transpose(1, 2, 0)
+@functools.lru_cache
+def _band_matrix(n: int, size: int, sigma: float):
+    """(n, n) banded matrix B with B[i, j] = g[j - i + r] and reflect-pad
+    folding, so that (B @ x) equals a 1-D gaussian filter along axis 0 with
+    'reflect' padding.  Cached as numpy."""
+    x = np.arange(size) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    g /= g.sum()
+    r = (size - 1) // 2
+    B = np.zeros((n, n), np.float32)
+    for t in range(-r, r + 1):
+        j = np.arange(n) + t
+        # reflect indexing (numpy 'reflect' == symmetric-without-edge-repeat)
+        j = np.abs(j)
+        j = np.where(j >= n, 2 * (n - 1) - j, j)
+        np.add.at(B, (np.arange(n), j), g[t + r])
+    return B
+
+
+def _filter2d(img: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Separable gaussian filter with reflect padding as two dense banded
+    matmuls (rows, then columns) so the work runs on the MXU instead of a
+    slow depthwise-conv lowering.  img: (H, W, C)."""
+    h, w = img.shape[0], img.shape[1]
+    bh = jnp.asarray(_band_matrix(h, size, sigma), img.dtype)
+    bw = jnp.asarray(_band_matrix(w, size, sigma), img.dtype)
+    y = jnp.einsum("hk,kwc->hwc", bh, img)
+    return jnp.einsum("wk,hkc->hwc", bw, y)
 
 
 def ssim(
@@ -49,17 +65,16 @@ def ssim(
     k2: float = 0.03,
 ) -> jax.Array:
     """Mean SSIM between two (H, W, C) images (Wang et al. 2004)."""
-    kernel = _gaussian_kernel().astype(img.dtype)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
-    mu_x = _filter2d(img, kernel)
-    mu_y = _filter2d(gt, kernel)
+    mu_x = _filter2d(img)
+    mu_y = _filter2d(gt)
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sigma_x = _filter2d(img * img, kernel) - mu_xx
-    sigma_y = _filter2d(gt * gt, kernel) - mu_yy
-    sigma_xy = _filter2d(img * gt, kernel) - mu_xy
+    sigma_x = _filter2d(img * img) - mu_xx
+    sigma_y = _filter2d(gt * gt) - mu_yy
+    sigma_xy = _filter2d(img * gt) - mu_xy
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
     return jnp.mean(num / den)
