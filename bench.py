@@ -23,6 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from gaussian_splatting_tpu import trainer as T
     from gaussian_splatting_tpu.config import SplatConfig
     from gaussian_splatting_tpu.structs import GaussianScene
@@ -58,13 +61,15 @@ def main():
         )
 
     state, info = step(state)  # compile
-    jax.block_until_ready(state.params["xyz"])
+    # NOTE: jax.block_until_ready does not reliably block on the tunneled
+    # axon backend; a scalar device_get is the only trustworthy sync.
+    float(info["loss"])
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, info = step(state)
-    jax.block_until_ready(state.params["xyz"])
+    float(info["loss"])
     ms = (time.perf_counter() - t0) / n_iters * 1e3
 
     print(

@@ -28,6 +28,7 @@ plus the feature gather in the renderer.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -185,14 +186,32 @@ def _split_axis_test(obb, tile_x, tile_y):
     return ok
 
 
-def _window(u, v, radius_tiles, x_tiles, y_tiles):
-    """Clipped candidate tile window (reference: tile_culling.cu:146-156)."""
-    px = jnp.floor(u / TILE_PX).astype(jnp.int32)
-    py = jnp.floor(v / TILE_PX).astype(jnp.int32)
-    sx = jnp.maximum(0, px - radius_tiles)
-    ex = jnp.minimum(x_tiles, px + radius_tiles)
-    sy = jnp.maximum(0, py - radius_tiles)
-    ey = jnp.minimum(y_tiles, py + radius_tiles)
+def _window(obb, x_tiles, y_tiles):
+    """Clipped candidate tile window from the OBB's axis-aligned bounds.
+
+    The reference enumerates a looser radius-based window
+    (tile_culling.cu:146-156) but only SAT-passing tiles are emitted; since
+    the SAT's first two axes are exactly this AABB check, shrinking the
+    enumeration window to the AABB changes nothing about which tiles hit —
+    it only keeps small gaussians in the small-K tiers (the radius window
+    is never under 4x4 tiles, which overflowed the tier capacities).
+    """
+    xs = obb[:, 0::2]
+    ys = obb[:, 1::2]
+    sx = jnp.clip(
+        jnp.floor(jnp.min(xs, axis=1) / TILE_PX).astype(jnp.int32), 0, x_tiles
+    )
+    ex = jnp.clip(
+        jnp.floor(jnp.max(xs, axis=1) / TILE_PX).astype(jnp.int32) + 1,
+        0, x_tiles,
+    )
+    sy = jnp.clip(
+        jnp.floor(jnp.min(ys, axis=1) / TILE_PX).astype(jnp.int32), 0, y_tiles
+    )
+    ey = jnp.clip(
+        jnp.floor(jnp.max(ys, axis=1) / TILE_PX).astype(jnp.int32) + 1,
+        0, y_tiles,
+    )
     wx = jnp.maximum(0, ex - sx)
     wy = jnp.maximum(0, ey - sy)
     return sx, sy, wx, wy
@@ -224,27 +243,33 @@ def _tier_capacities(n: int, splat_capacity: int):
     """Per-frame candidate capacities for the big-gaussian tiers.
 
     Tier 0 (<=4 cells) admits every gaussian.  Each later tier's padded
-    contribution is capped at splat_capacity//2 candidates.
+    candidate contribution is capped at splat_capacity//4, bounding the
+    big sort at 4N + 0.75*splat_capacity entries.
     """
     caps = [n]
     for k in TIER_CELLS[1:]:
-        caps.append(min(n, max(TIER_MIN, splat_capacity // (2 * k))))
+        caps.append(min(n, max(TIER_MIN, splat_capacity // (4 * k))))
     return tuple(caps)
 
 
-def build_splat_layout(
+def _layout_impl(
     uv: jax.Array,
     conic: jax.Array,
     z_camera: jax.Array,
     visible: jax.Array,
+    feat_g,  # (R, N) per-gaussian feature rows carried through the sorts
     grid: TileGrid,
     mh_dist: float,
     splat_capacity: int,
     chunk: int,
-) -> SplatLayout:
+):
     """Assign gaussians to tiles, depth-sort per tile, chunk-align.
 
     Replaces get_sorted_gaussian_list (src/tile_culling.cu:244-340).
+    Returns (SplatLayout, feat (R, splat_capacity) or None): per-gaussian
+    feature rows are expanded to chunk-aligned per-splat columns by CARRYING
+    them as sort operands (extra sort operands are nearly free on TPU,
+    while a per-splat gather costs ~10-30x more).
     """
     n = uv.shape[0]
     n_tiles = grid.tile_count
@@ -272,8 +297,8 @@ def build_splat_layout(
         (u, v, a, b, c, z_camera, visible)
     )
 
-    obb, radius_tiles = _obb_and_radius(u, v, a, b, c, mh_dist)
-    sx, sy, wx, wy = _window(u, v, radius_tiles, grid.x_tiles, grid.y_tiles)
+    obb, _ = _obb_and_radius(u, v, a, b, c, mh_dist)
+    sx, sy, wx, wy = _window(obb, grid.x_tiles, grid.y_tiles)
     area = jnp.where(visible, wx * wy, 0)
 
     k0 = TIER_CELLS[0]
@@ -288,11 +313,13 @@ def build_splat_layout(
     big_area, big_idx = jax.lax.top_k(area, m_big)
     big_idx = big_idx.astype(jnp.int32)
 
+    n_rows = 0 if feat_g is None else feat_g.shape[0]
     tier_tiles = [
         _tier_tiles(sx, sy, wx, wy, obb, visible & (area <= k0), k0,
                     grid.x_tiles)
     ]
     tier_gid = [jnp.arange(n, dtype=jnp.int32)]
+    tier_feat = [feat_g]
     dropped = n_big_total > m_big
     # boundary[i] = #gaussians with area > TIER_CELLS[i]
     for i, k_cells in enumerate(TIER_CELLS[1:], start=1):
@@ -313,11 +340,13 @@ def build_splat_layout(
                         member, k_cells, grid.x_tiles)
         )
         tier_gid.append(idx_i)
+        tier_feat.append(None if feat_g is None else feat_g[:, idx_i])
     # gaussians too big for the last tier lose their tail cells
     dropped |= jnp.any(big_area > TIER_CELLS[-1])
 
-    # ---- ONE sort over all padded candidates: (tile, z, gid).  z and gid
-    # are regular row broadcasts (no gathers).
+    # ---- SORT 1 over all padded candidates: keys (tile, z), values
+    # (gid, feature rows).  z / gid / features are regular row broadcasts
+    # (no per-candidate gathers).
     def flat(arrs):
         return jnp.concatenate([x.reshape(-1) for x in arrs])
 
@@ -334,14 +363,23 @@ def build_splat_layout(
             for g, t in zip(tier_gid, tier_tiles)
         ]
     )
+    cand_feat = [
+        flat(
+            [
+                jnp.broadcast_to(f[r][None, :], t.shape)
+                for f, t in zip(tier_feat, tier_tiles)
+            ]
+        )
+        for r in range(n_rows)
+    ]
     # barrier: without it XLA fuses a copy of the whole SAT/obb producer
     # chain into each sort operand, bloating generated code several-fold
-    cand_tile, cand_z, cand_gid = jax.lax.optimization_barrier(
-        (cand_tile, cand_z, cand_gid)
+    ops = jax.lax.optimization_barrier(
+        tuple([cand_tile, cand_z, cand_gid] + cand_feat)
     )
-    sort_tile, _, sort_gid = jax.lax.sort(
-        (cand_tile, cand_z, cand_gid), num_keys=2, is_stable=False
-    )
+    sorted1 = jax.lax.sort(ops, num_keys=2, is_stable=False)
+    sort_tile, sort_gid = sorted1[0], sorted1[2]
+    sort_feat = list(sorted1[3:])
     c_cand = sort_tile.shape[0]
     num_splats = jnp.sum((sort_tile < n_tiles).astype(jnp.int32))
     overflow = dropped | (num_splats > s_cap)
@@ -349,9 +387,11 @@ def build_splat_layout(
         sort_tile = jnp.pad(sort_tile, (0, s_cap - c_cand),
                             constant_values=2**30)
         sort_gid = jnp.pad(sort_gid, (0, s_cap - c_cand), constant_values=n)
+        sort_feat = [jnp.pad(f, (0, s_cap - c_cand)) for f in sort_feat]
     else:
         sort_tile = sort_tile[:s_cap]
         sort_gid = sort_gid[:s_cap]
+        sort_feat = [f[:s_cap] for f in sort_feat]
     sort_gid = jnp.where(sort_tile < n_tiles, sort_gid, n)
 
     # ---- per-tile boundaries via binary search (n_tiles-scale, cheap)
@@ -391,20 +431,52 @@ def build_splat_layout(
     # the (static) chunk array — truncation can only cut the tail tiles
     tile_has_output = (tile_chunks > 0) & (chunk_offset[:n_tiles] < n_chunks)
 
-    # ---- chunk-aligned gaussian list: THE one per-splat gather.  Chunk w
-    # holds the depth-sorted splats
-    # [start_of_tile[t] + cit*chunk, +chunk) of its tile t.
-    chunk_src = start_of_tile[toc_safe] + chunk_in_tile * chunk  # (n_chunks,)
-    src = (chunk_src[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :])
-    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    ok = (tile_of_chunk[:, None] < n_tiles) & (
-        lane < valid_in_chunk[:, None]
-    ) & (src < s_cap)
-    gaussian_idx = jnp.where(
-        ok, sort_gid[jnp.minimum(src, s_cap - 1).reshape(-1)].reshape(src.shape), n
-    ).reshape(-1)
+    # ---- SORT 2: spread the tile-sorted splats into chunk-aligned slots.
+    # Every destination in [0, used_chunks*chunk) is covered exactly once —
+    # real splats go to chunk_base[tile] + rank_in_tile, and per-tile gap
+    # dummies fill the chunk-padding tail — so sorting by destination IS the
+    # spread (no per-splat gather/scatter).
+    #
+    # dest_i = i + shift[tile_i] with shift[t] = chunk_base[t] - start[t]
+    # (non-decreasing in t), realised as a step function over sorted slots
+    # via a tiny scatter + cummax.
+    chunk_base = chunk_offset[:n_tiles] * chunk
+    shift = chunk_base - start_of_tile  # (n_tiles,) non-decreasing
+    m = jnp.zeros((s_cap + 1,), jnp.int32).at[
+        jnp.minimum(start_of_tile, s_cap)
+    ].max(shift, mode="drop")
+    shift_step = jax.lax.cummax(m[:s_cap])
+    slot = jnp.arange(s_cap, dtype=jnp.int32)
+    real_valid = sort_tile < n_tiles
+    dest_real = slot + shift_step
+    dest_real = jnp.where(
+        real_valid & (dest_real < s_cap), dest_real, SENTINEL
+    )
+    # gap dummies: tile t owns gap_t = chunks*chunk - count padding slots
+    gap = tile_chunks * chunk - tile_counts  # (n_tiles,), in [0, chunk)
+    j = jnp.arange(chunk, dtype=jnp.int32)
+    dest_gap = (chunk_base + tile_counts)[:, None] + j[None, :]
+    gap_ok = (j[None, :] < gap[:, None]) & (dest_gap < s_cap)
+    dest_gap = jnp.where(gap_ok, dest_gap, SENTINEL).reshape(-1)
 
-    return SplatLayout(
+    keys2 = jnp.concatenate([dest_real, dest_gap])
+    gid2 = jnp.concatenate(
+        [sort_gid, jnp.full((n_tiles * chunk,), n, jnp.int32)]
+    )
+    feat2 = [
+        jnp.concatenate([f, jnp.zeros((n_tiles * chunk,), f.dtype)])
+        for f in sort_feat
+    ]
+    sorted2 = jax.lax.sort(
+        tuple([keys2, gid2] + feat2), num_keys=1, is_stable=False
+    )
+    ok2 = sorted2[0][:s_cap] < SENTINEL
+    gaussian_idx = jnp.where(ok2, sorted2[1][:s_cap], n)
+    feat = None
+    if n_rows:
+        feat = jnp.stack([jnp.where(ok2, f[:s_cap], 0.0) for f in sorted2[2:]])
+
+    layout = SplatLayout(
         gaussian_idx=gaussian_idx,
         tile_of_chunk=tile_of_chunk,
         chunk_in_tile=chunk_in_tile,
@@ -414,6 +486,119 @@ def build_splat_layout(
         num_splats=num_splats,
         overflow=overflow,
     )
+    return layout, feat
+
+
+def build_splat_layout(
+    uv: jax.Array,
+    conic: jax.Array,
+    z_camera: jax.Array,
+    visible: jax.Array,
+    grid: TileGrid,
+    mh_dist: float,
+    splat_capacity: int,
+    chunk: int,
+) -> SplatLayout:
+    """Layout only (no feature carry) — tests and tooling."""
+    layout, _ = _layout_impl(
+        uv, conic, z_camera, visible, None, grid, mh_dist, splat_capacity,
+        chunk,
+    )
+    return layout
+
+
+def reduce_rows_by_gid(rows: jax.Array, gid: jax.Array, cap: int) -> jax.Array:
+    """Sum per-splat rows (R, S) into per-gaussian rows (R, cap).
+
+    This is the transpose of the feature expansion — the replacement for a
+    scatter-add (which lowers to a ~100ms/M-index scalar loop on TPU).
+    All-sort formulation: group by gid (sort 1), running-sum, then compact
+    one per-gid total to its dense slot (sort 2) and difference:
+
+      1. sort (gid, rows...) with one zero-valued DUMMY entry per gaussian
+         keyed to sort after its real entries;
+      2. cumulative sum along the sorted axis — each dummy now holds the
+         inclusive prefix total up to and including its gaussian's run;
+      3. sort dummies to the front by gid (unique keys -> dense positions)
+         and take adjacent differences: out[g] = csum@dummy_g - csum@dummy_{g-1}.
+    """
+    r, s = rows.shape
+    valid = gid < cap
+    key1 = jnp.where(valid, gid, SENTINEL)
+    flag = jnp.concatenate(
+        [jnp.zeros((s,), jnp.int32), jnp.ones((cap,), jnp.int32)]
+    )
+    keys = jnp.concatenate([key1, jnp.arange(cap, dtype=jnp.int32)])
+    # sanitise: dead-lane grads can be NaN (harmless in the scatter design,
+    # fatal in a cumsum)
+    rows = jnp.where(valid[None, :], rows, 0.0)
+    ops = [keys, flag] + [
+        jnp.concatenate([rows[i], jnp.zeros((cap,), rows.dtype)])
+        for i in range(r)
+    ]
+    sorted1 = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
+    skey, sflag = sorted1[0], sorted1[1]
+    csum = [jnp.cumsum(x) for x in sorted1[2:]]
+    key2 = jnp.where((sflag == 1) & (skey < SENTINEL), skey, SENTINEL)
+    sorted2 = jax.lax.sort(tuple([key2] + csum), num_keys=1, is_stable=False)
+    dense = jnp.stack([x[:cap] for x in sorted2[1:]])  # (R, cap)
+    prev = jnp.concatenate(
+        [jnp.zeros((r, 1), dense.dtype), dense[:, :-1]], axis=1
+    )
+    return dense - prev
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def layout_with_features(
+    uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
+    chunk,
+):
+    """(layout, feat): tile assignment + per-splat feature expansion.
+
+    Differentiable in ``feat_g`` only (R, N) -> (R, splat_capacity); the
+    discrete tile assignment gives no gradient to uv/conic/z (matching the
+    reference, where the splat list is built outside autograd,
+    splat_py/rasterize.py:84).  The custom VJP turns the expansion's
+    transpose (a scatter-add over splat->gaussian ids) into the all-sort
+    reduction ``reduce_rows_by_gid``.
+    """
+    return _layout_impl(
+        uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
+        chunk,
+    )
+
+
+def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
+             splat_capacity, chunk):
+    out = _layout_impl(
+        uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
+        chunk,
+    )
+    layout, _ = out
+    res = (
+        layout.gaussian_idx,
+        uv.shape, conic.shape, z_camera.shape, visible.shape,
+        feat_g.shape,
+    )
+    return out, res
+
+
+def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, res, cot):
+    import numpy as np
+
+    gidx, uv_s, conic_s, z_s, vis_s, feat_s = res
+    _, feat_cot = cot
+    g_feat_g = reduce_rows_by_gid(feat_cot, gidx, feat_s[1])
+    return (
+        jnp.zeros(uv_s, jnp.float32),
+        jnp.zeros(conic_s, jnp.float32),
+        jnp.zeros(z_s, jnp.float32),
+        np.zeros(vis_s, jax.dtypes.float0),
+        g_feat_g,
+    )
+
+
+layout_with_features.defvjp(_lwf_fwd, _lwf_bwd)
 
 
 def sorted_splat_list(layout: SplatLayout, grid: TileGrid, chunk: int):

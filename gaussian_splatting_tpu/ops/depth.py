@@ -33,8 +33,7 @@ FEAT_DEPTH = 6
 
 
 def depth_features(uv, opacity, conic, xyz_camera):
-    """Pack per-gaussian depth-render inputs, (FEAT_ROWS, N)."""
-    n = uv.shape[0]
+    """Pack per-gaussian depth-render inputs, (7, N) data rows."""
     dist = jnp.linalg.norm(xyz_camera, axis=1)
     rows = [
         uv[:, 0],
@@ -45,10 +44,7 @@ def depth_features(uv, opacity, conic, xyz_camera):
         conic[:, 2] + 0.25,
         dist,
     ]
-    feat = jnp.stack(rows)
-    return jnp.concatenate(
-        [feat, jnp.zeros((cc.FEAT_ROWS - len(rows), n), feat.dtype)]
-    )
+    return jnp.stack(rows)
 
 
 def _depth_kernel(alpha_threshold, chunk_len, x_tiles, toc_ref, info_ref,

@@ -80,14 +80,14 @@ def _chunk_scalars(toc_ref, info_ref, w, chunk, x_tiles):
 
 
 def splat_features(uv, opacity, conic, rgb):
-    """Pack per-gaussian render inputs into the (FEAT_ROWS, N) matrix.
+    """Pack per-gaussian render inputs into a (9, N) row matrix.
 
     Differentiable; includes the +0.25 diagonal regularisation and the
     conic[1]/2 halving the CUDA kernels apply inline
     (src/render.cu:113-121), so the kernels consume a/b/c directly and
-    JAX autodiff chains these affine maps.
+    JAX autodiff chains these affine maps.  Rows are padded to FEAT_ROWS
+    with `pad_feature_rows` after per-splat expansion.
     """
-    n = uv.shape[0]
     rows = [
         uv[:, 0],
         uv[:, 1],
@@ -99,9 +99,14 @@ def splat_features(uv, opacity, conic, rgb):
         rgb[:, 1],
         rgb[:, 2],
     ]
-    feat = jnp.stack(rows)
+    return jnp.stack(rows)
+
+
+def pad_feature_rows(feat):
+    """Pad (R, S) data rows to the kernels' (FEAT_ROWS, S) contract."""
+    r, s = feat.shape
     return jnp.concatenate(
-        [feat, jnp.zeros((cc.FEAT_ROWS - len(rows), n), feat.dtype)]
+        [feat, jnp.zeros((cc.FEAT_ROWS - r, s), feat.dtype)]
     )
 
 

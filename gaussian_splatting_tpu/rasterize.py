@@ -16,11 +16,15 @@ import jax
 import jax.numpy as jnp
 
 from gaussian_splatting_tpu import geometry as geo
-from gaussian_splatting_tpu.culling import build_splat_layout, frustum_visible
+from gaussian_splatting_tpu.culling import (
+    frustum_visible,
+    layout_with_features,
+)
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.depth import depth_features, render_depth_tiles
 from gaussian_splatting_tpu.ops.render import (
     build_chunk_meta,
+    pad_feature_rows,
     render_tiles,
     splat_features,
 )
@@ -83,12 +87,6 @@ def rasterize(
     J = geo.compute_projection_jacobian(xyz_cam, camera.K)
     conic = geo.compute_conic(sigma_world, J, camera_T_world)
 
-    layout = build_splat_layout(
-        uv, conic, xyz_cam[:, 2], visible, grid, mh_dist,
-        splat_capacity=splat_capacity, chunk=chunk,
-    )
-    meta = build_chunk_meta(layout, grid.x_tiles)
-
     n_sh = _active_sh_coeffs(n_sh_band)
     if n_sh == 1:
         render_rgb = params["rgb"]
@@ -107,8 +105,12 @@ def rasterize(
     # the DC-path rasterizer scales colour by SH_0 (src/render.cu sh_to_rgb
     # with N_SH=1); fold it into the features so the kernel stays linear
     feat_g = splat_features(uv, opacity, conic, render_rgb * geo.SH_0)
-    feat_g = jnp.pad(feat_g, ((0, 0), (0, 1)))  # sentinel column (all-zero)
-    feat = feat_g[:, layout.gaussian_idx]
+    layout, feat = layout_with_features(
+        uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
+        splat_capacity, chunk,
+    )
+    meta = build_chunk_meta(layout, grid.x_tiles)
+    feat = pad_feature_rows(feat)
 
     img_tiles, T = render_tiles(
         feat, meta, background_rgb, layout.tile_has_output,
@@ -157,16 +159,14 @@ def render_depth(
     J = geo.compute_projection_jacobian(xyz_cam, camera.K)
     conic = geo.compute_conic(sigma_world, J, camera_T_world)
 
-    layout = build_splat_layout(
-        uv, conic, xyz_cam[:, 2], visible, grid, mh_dist,
-        splat_capacity=splat_capacity, chunk=chunk,
-    )
-    meta = build_chunk_meta(layout, grid.x_tiles)
-
     opacity = jax.nn.sigmoid(params["opacity"])
     feat_g = depth_features(uv, opacity, conic, xyz_cam)
-    feat_g = jnp.pad(feat_g, ((0, 0), (0, 1)))
-    feat = feat_g[:, layout.gaussian_idx]
+    layout, feat = layout_with_features(
+        uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
+        splat_capacity, chunk,
+    )
+    meta = build_chunk_meta(layout, grid.x_tiles)
+    feat = pad_feature_rows(feat)
 
     depth_tiles = render_depth_tiles(
         feat, meta, layout.tile_has_output, alpha_threshold,

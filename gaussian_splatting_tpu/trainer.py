@@ -65,6 +65,7 @@ def init_train_state(scene: GaussianScene, config: SplatConfig) -> TrainState:
     static_argnames=(
         "config", "camera_hw", "n_sh_band", "use_background", "interpret",
     ),
+    donate_argnums=(0,),
 )
 def train_step(
     state: TrainState,

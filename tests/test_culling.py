@@ -121,3 +121,88 @@ def test_tilegrid_padding():
     assert grid.y_tiles == 68
     assert grid.x_tiles == 120
     assert grid.tile_count == 8160
+
+
+def test_reduce_rows_by_gid_matches_scatter():
+    """The all-sort reduction used by layout_with_features' VJP must equal
+    the plain scatter-add transpose of the feature expansion."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussian_splatting_tpu.culling import reduce_rows_by_gid
+
+    rng = np.random.default_rng(0)
+    cap, s, r = 37, 512, 5
+    gid = rng.integers(0, cap + 1, s).astype(np.int32)  # cap = dead slot
+    rows = rng.normal(size=(r, s)).astype(np.float32)
+    # NaNs at dead lanes must be ignored (the kernels emit them there)
+    rows[:, gid == cap] = np.nan
+
+    got = np.asarray(reduce_rows_by_gid(jnp.asarray(rows), jnp.asarray(gid), cap))
+    want = np.zeros((r, cap), np.float32)
+    for i in range(s):
+        if gid[i] < cap:
+            want[:, gid[i]] += rows[:, i]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_layout_with_features_grad():
+    """End-to-end: gradients wrt feat_g through layout_with_features equal
+    the gather-transpose computed from gaussian_idx."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gaussian_splatting_tpu import geometry as geo
+    from gaussian_splatting_tpu.culling import (
+        build_splat_layout,
+        frustum_visible,
+        layout_with_features,
+    )
+    from gaussian_splatting_tpu.structs import TileGrid
+    from tests import fixtures as fx
+
+    scene = fx.test_scene(opacity_presigmoid=True)
+    cam = fx.test_camera()
+    pose = fx.test_camera_T_world()
+    xyz_cam = geo.transform_points(scene.xyz, pose)
+    uv = geo.project_points(xyz_cam, cam.K)
+    visible = frustum_visible(
+        xyz_cam, uv, (cam.width, cam.height), 0.3, 100.0, 10.0
+    ) & scene.alive
+    sigma = geo.compute_sigma_world(scene.quaternion, scene.scale)
+    J = geo.compute_projection_jacobian(xyz_cam, cam.K)
+    conic = geo.compute_conic(sigma, J, pose)
+    grid = TileGrid(cam.height, cam.width)
+    scap = 1 << 12
+
+    n = scene.capacity
+    rng = np.random.default_rng(1)
+    feat_g = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(4, scap)).astype(np.float32))
+
+    def expand(fg):
+        layout, feat = layout_with_features(
+            uv, conic, xyz_cam[:, 2], visible, fg, grid, 3.0, scap, 256
+        )
+        return jnp.sum(feat * cot)
+
+    g = np.asarray(jax.grad(expand)(feat_g))
+
+    layout = build_splat_layout(
+        uv, conic, xyz_cam[:, 2], visible, grid, 3.0,
+        splat_capacity=scap, chunk=256,
+    )
+    gid = np.asarray(layout.gaussian_idx)
+    want = np.zeros((4, n), np.float32)
+    c = np.asarray(cot)
+    for i in range(scap):
+        if gid[i] < n:
+            want[:, gid[i]] += c[:, i]
+    np.testing.assert_allclose(g, want, atol=1e-3)
+
+    # forward expansion itself must equal the gather
+    _, feat = layout_with_features(
+        uv, conic, xyz_cam[:, 2], visible, feat_g, grid, 3.0, scap, 256
+    )
+    fg = np.asarray(feat_g)
+    want_f = np.where(gid[None, :] < n, fg[:, np.minimum(gid, n - 1)], 0.0)
+    np.testing.assert_allclose(np.asarray(feat), want_f, atol=0)

@@ -25,6 +25,7 @@ from gaussian_splatting_tpu.ops import reference_impl as oracle
 from gaussian_splatting_tpu.ops.render import (
     build_chunk_meta,
     render_tiles,
+    pad_feature_rows,
     splat_features,
 )
 from gaussian_splatting_tpu.structs import TileGrid
@@ -83,7 +84,7 @@ def _dense_lists(layout, grid):
 
 
 def _oracle_image(uv, opac, conic, rgb, ids, valid, grid, bg):
-    feat = splat_features(uv, opac, conic, rgb).T  # (N, FEAT_ROWS)
+    feat = splat_features(uv, opac, conic, rgb).T  # (N, 9)
     f = feat[ids][:, :, :9]  # (n_tiles, L, 9)
     img, T = oracle.composite_dense(f, valid, grid.x_tiles)
     img = oracle.apply_background(img, T, bg)
@@ -146,7 +147,7 @@ def test_pallas_forward_matches_oracle(with_bg):
 
     meta = build_chunk_meta(layout, grid.x_tiles)
     feat_g = jnp.pad(splat_features(uv, opac, conic, rgb), ((0, 0), (0, 1)))
-    feat = feat_g[:, layout.gaussian_idx]
+    feat = pad_feature_rows(feat_g[:, layout.gaussian_idx])
     img_p, t_p = render_tiles(
         feat, meta, bg, layout.tile_has_output,
         n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=CHUNK,
@@ -179,7 +180,7 @@ def test_pallas_grads_match_oracle(with_bg):
         feat_g = jnp.pad(
             splat_features(uv_, opac_, conic_, rgb_), ((0, 0), (0, 1))
         )
-        feat = feat_g[:, layout.gaussian_idx]
+        feat = pad_feature_rows(feat_g[:, layout.gaussian_idx])
         img, T = render_tiles(
             feat, meta, bg_, layout.tile_has_output,
             n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=CHUNK,
