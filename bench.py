@@ -32,7 +32,10 @@ def main():
 
     n = 1_500_000
     H, W = 840, 1296
-    config = SplatConfig(splat_capacity=1 << 23, chunk=256)
+    # splat capacity: the scene produces ~2.25M tile-gaussian pairs; a 4M
+    # bucket holds them with headroom (the runner sizes this per scene and
+    # re-jits when a bucket is crossed; overflow is flagged)
+    config = SplatConfig(splat_capacity=1 << 22, chunk=256)
 
     rng = np.random.default_rng(0)
     xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + np.array(

@@ -292,10 +292,18 @@ def _layout_impl(
     b = jnp.where(finite, b, 0.0)
     c = jnp.where(finite, c, 1.0)
     # barrier: stops XLA re-fusing the caller's per-gaussian geometry chain
-    # (sigma/J/conic einsums) into every consumer below (code-size blowup)
-    u, v, a, b, c, z_camera, visible = jax.lax.optimization_barrier(
-        (u, v, a, b, c, z_camera, visible)
-    )
+    # (sigma/J/conic einsums, feature packing) into every consumer below
+    # (code-size and runtime blowup from duplicated producers)
+    if feat_g is None:
+        u, v, a, b, c, z_camera, visible = jax.lax.optimization_barrier(
+            (u, v, a, b, c, z_camera, visible)
+        )
+    else:
+        u, v, a, b, c, z_camera, visible, feat_g = (
+            jax.lax.optimization_barrier(
+                (u, v, a, b, c, z_camera, visible, feat_g)
+            )
+        )
 
     obb, _ = _obb_and_radius(u, v, a, b, c, mh_dist)
     sx, sy, wx, wy = _window(obb, grid.x_tiles, grid.y_tiles)
@@ -538,9 +546,13 @@ def reduce_rows_by_gid(rows: jax.Array, gid: jax.Array, cap: int) -> jax.Array:
     ]
     sorted1 = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
     skey, sflag = sorted1[0], sorted1[1]
-    csum = [jnp.cumsum(x) for x in sorted1[2:]]
+    # one (R, S+cap) cumsum (sublane-vectorised) instead of R separate scans
+    csum = jnp.cumsum(jnp.stack(sorted1[2:]), axis=1)
     key2 = jnp.where((sflag == 1) & (skey < SENTINEL), skey, SENTINEL)
-    sorted2 = jax.lax.sort(tuple([key2] + csum), num_keys=1, is_stable=False)
+    sorted2 = jax.lax.sort(
+        tuple([key2] + [csum[i] for i in range(r)]),
+        num_keys=1, is_stable=False,
+    )
     dense = jnp.stack([x[:cap] for x in sorted2[1:]])  # (R, cap)
     prev = jnp.concatenate(
         [jnp.zeros((r, 1), dense.dtype), dense[:, :-1]], axis=1

@@ -52,6 +52,19 @@ class ColmapImage:
 
 
 def read_cameras_bin(path) -> dict:
+    from gaussian_splatting_tpu.dataio import native
+
+    nat = native.read_cameras(path)
+    if nat is not None:
+        cams = {}
+        for i in range(len(nat["camera_ids"])):
+            cam_id = int(nat["camera_ids"][i])
+            name, n_params = CAMERA_MODELS[int(nat["model_ids"][i])]
+            cams[cam_id] = ColmapCamera(
+                cam_id, name, int(nat["wh"][i, 0]), int(nat["wh"][i, 1]),
+                nat["params"][i, :n_params].copy(),
+            )
+        return cams
     data = Path(path).read_bytes()
     (n,) = struct.unpack_from("<Q", data, 0)
     off = 8
@@ -67,6 +80,18 @@ def read_cameras_bin(path) -> dict:
 
 
 def read_images_bin(path) -> dict:
+    from gaussian_splatting_tpu.dataio import native
+
+    nat = native.read_images(path)
+    if nat is not None:
+        return {
+            int(nat["image_ids"][i]): ColmapImage(
+                int(nat["image_ids"][i]), nat["qvec"][i].copy(),
+                nat["tvec"][i].copy(), int(nat["camera_ids"][i]),
+                nat["names"][i],
+            )
+            for i in range(len(nat["image_ids"]))
+        }
     data = Path(path).read_bytes()
     (n,) = struct.unpack_from("<Q", data, 0)
     off = 8
@@ -92,6 +117,11 @@ def read_images_bin(path) -> dict:
 
 def read_points3d_bin(path):
     """Returns (xyz (N,3) f64, rgb (N,3) u8).  Track data is skipped."""
+    from gaussian_splatting_tpu.dataio import native
+
+    nat = native.read_points3d(path)
+    if nat is not None:
+        return nat["xyz"], nat["rgb"]
     data = Path(path).read_bytes()
     (n,) = struct.unpack_from("<Q", data, 0)
     off = 8

@@ -102,12 +102,12 @@ def splat_features(uv, opacity, conic, rgb):
     return jnp.stack(rows)
 
 
-def pad_feature_rows(feat):
-    """Pad (R, S) data rows to the kernels' (FEAT_ROWS, S) contract."""
+def pad_feature_rows(feat, rows: int | None = None):
+    """Pad (R, S) data rows to the kernels' (rows, S) contract
+    (default: the DC kernel's FEAT_ROWS)."""
     r, s = feat.shape
-    return jnp.concatenate(
-        [feat, jnp.zeros((cc.FEAT_ROWS - r, s), feat.dtype)]
-    )
+    rows = cc.FEAT_ROWS if rows is None else rows
+    return jnp.concatenate([feat, jnp.zeros((rows - r, s), feat.dtype)])
 
 
 # ---------------------------------------------------------------------------

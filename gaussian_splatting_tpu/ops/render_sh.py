@@ -1,0 +1,393 @@
+"""Per-pixel spherical-harmonics tile rasterizer (fwd + bwd, custom_vjp).
+
+TPU re-design of the reference's N_SH>1 kernel path (src/render.cu:44-51,
+153 and src/render_backward.cu SH branches): instead of a per-gaussian
+precomputed colour, every pixel evaluates the SH basis at its own world
+ray direction and contracts it with each splat's 3 x n_sh coefficients.
+
+Kernel formulation: with basis B (n_sh, 256) per tile and coefficients
+F (3*n_sh, CHUNK) per chunk,
+
+  M[ck, p]  = sum_s F[ck, s] * W[p, s]           (one MXU matmul)
+  acc[c, p] += sum_k B[k, p] * M[c*n_sh + k, p]  (small VPU contraction)
+
+and backward
+
+  GB[ck, p]   = g[c, p] * B[k, p]
+  A[p, s]     = sum_ck GB[ck, p] * F[ck, s]      (matmul; feeds grad-alpha)
+  gF[ck, s]   = sum_p GB[ck, p] * Wcl[p, s]      (matmul)
+
+The alpha/compositing math and all thresholds are shared with the DC
+kernel (ops/render.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_splatting_tpu.ops import common as cc
+from gaussian_splatting_tpu.ops.render import (
+    _alpha_terms,
+    _chunk_scalars,
+    _col_to_row,
+    _log_one_minus,
+    _mm,
+    _pixel_coords,
+    _row_to_col,
+    _tri_matrices,
+    default_interpret,
+)
+
+SH_BASE_ROWS = 6  # u, v, opacity, a, b, c
+
+
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def sh_feat_rows(n_sh: int) -> int:
+    """Data rows for the SH feature matrix: base + 3*n_sh coefficients."""
+    return SH_BASE_ROWS + 3 * n_sh
+
+
+def sh_splat_features(uv, opacity, conic, coeffs):
+    """Pack per-gaussian SH-render inputs into (6 + 3*n_sh, N) rows.
+
+    coeffs: (N, 3, n_sh) including the DC coefficient — NOT scaled by SH_0
+    (the kernel's basis row 0 carries SH_0, matching sh_to_rgb,
+    src/spherical_harmonics.cuh:26-75).
+    """
+    n_sh = coeffs.shape[2]
+    rows = [
+        uv[:, 0],
+        uv[:, 1],
+        opacity[:, 0],
+        conic[:, 0] + 0.25,
+        conic[:, 1] * 0.5,
+        conic[:, 2] + 0.25,
+    ]
+    rows += [coeffs[:, c, k] for c in range(3) for k in range(n_sh)]
+    return jnp.stack(rows)
+
+
+def _sh_color_rows(n_sh):
+    return SH_BASE_ROWS, SH_BASE_ROWS + 3 * n_sh
+
+
+def _fwd_kernel(n_sh, chunk, x_tiles, toc_ref, info_ref, feat_ref, basis_ref,
+                out_ref, t_col, acc):
+    w = pl.program_id(0)
+    _, first, last, nvalid, tx, ty = _chunk_scalars(
+        toc_ref, info_ref, w, chunk, x_tiles
+    )
+
+    @pl.when(first)
+    def _():
+        t_col[:] = jnp.ones_like(t_col)
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(nvalid > 0)
+    def _():
+        f = feat_ref[:]
+        chunk_len = f.shape[1]
+        upix, vpix = _pixel_coords(tx, ty, f.dtype)
+        t = _alpha_terms(f, upix, vpix, nvalid)
+        at = t["at"]
+        loma = _log_one_minus(at)
+        u_strict, _ = _tri_matrices(chunk_len, f.dtype)
+        tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+        active = tpref >= cc.T_EPS
+        wgt = jnp.where(active, at * tpref, 0.0)  # (256, CHUNK)
+        lo, hi = _sh_color_rows(n_sh)
+        coeff = f[lo:hi, :]  # (3*n_sh, CHUNK)
+        m = _mm(coeff, wgt, (((1,), (1,))))  # (3*n_sh, 256)
+        basis = basis_ref[0:n_sh, :]  # (n_sh, 256)
+        for c in range(3):
+            acc[c : c + 1, :] += jnp.sum(
+                m[c * n_sh : (c + 1) * n_sh, :] * basis, axis=0, keepdims=True
+            )
+        t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+
+    @pl.when(last)
+    def _():
+        out_ref[0:3, :] = acc[0:3, :]
+        out_ref[3:4, :] = _col_to_row(t_col[:])
+        out_ref[4:, :] = jnp.zeros_like(out_ref[4:, :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sh", "n_tiles", "x_tiles", "chunk", "interpret"),
+)
+def _render_fwd(feat, basis, meta, *, n_sh, n_tiles, x_tiles, chunk,
+                interpret):
+    toc, tile_info = meta
+    n_splats = feat.shape[1]
+    n_chunks = n_splats // chunk
+    feat_rows = feat.shape[0]
+    basis_rows = basis.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (feat_rows, chunk), lambda w, toc, info: (0, w),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (basis_rows, cc.PIXELS_PER_TILE),
+                lambda w, toc, info: (0, toc[w]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
+            lambda w, toc, info: (0, toc[w]),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.OUT_ROWS, cc.PIXELS_PER_TILE), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n_sh, chunk, x_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (cc.OUT_ROWS, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
+        ),
+        interpret=interpret,
+    )(toc, tile_info, feat, basis)
+
+
+def _bwd_kernel(n_sh, chunk_len, x_tiles, toc_ref, info_ref, feat_ref,
+                basis_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
+    w = pl.program_id(0)
+    _, first, _, nvalid, tx, ty = _chunk_scalars(
+        toc_ref, info_ref, w, chunk_len, x_tiles
+    )
+
+    @pl.when(first)
+    def _():
+        t_col[:] = jnp.ones_like(t_col)
+        pg_col[:] = jnp.zeros_like(pg_col)
+        e_col[:] = _row_to_col(gi_ref[3:4, :])
+
+    f = feat_ref[:]
+    chunk = f.shape[1]
+    upix, vpix = _pixel_coords(tx, ty, f.dtype)
+    t = _alpha_terms(f, upix, vpix, nvalid)
+    at, prob, op = t["at"], t["prob"], t["op"]
+    du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
+    a, b, c = t["a"], t["b"], t["c"]
+
+    loma = _log_one_minus(at)
+    u_strict, u_incl = _tri_matrices(chunk, f.dtype)
+    tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+    active = tpref >= cc.T_EPS
+    mask = active & (at > 0.0)
+    wgt = jnp.where(mask, at * tpref, 0.0)
+
+    g = gi_ref[0:3, :]  # (3, 256)
+    basis = basis_ref[0:n_sh, :]  # (n_sh, 256)
+    gb = jnp.concatenate(
+        [g[ch : ch + 1, :] * basis for ch in range(3)], axis=0
+    )  # (3*n_sh, 256)
+    lo, hi = _sh_color_rows(n_sh)
+    coeff = f[lo:hi, :]  # (3*n_sh, CHUNK)
+    # A[p, s] = sum_ck gb[ck, p] * coeff[ck, s]
+    A = _mm(gb, coeff, (((0,), (0,))))  # (256, CHUNK)
+    cw = A * wgt
+    pg_incl = pg_col[:] + _mm(cw, u_incl, (((1,), (0,))))
+    D = e_col[:] - pg_incl
+
+    alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
+    roma = 1.0 / (1.0 - alpha_cl)
+    galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
+
+    gop_pp = prob * galpha
+    gm = -0.5 * prob * op * galpha
+    common = mh * rdet
+    gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
+    gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
+    ga_pp = (-c * common + dv * dv * rdet) * gm
+    gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
+    gc_pp = (-a * common + du * du * rdet) * gm
+
+    def rowsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    gout_ref[0:1, :] = rowsum(gu_pp)
+    gout_ref[1:2, :] = rowsum(gv_pp)
+    gout_ref[2:3, :] = rowsum(gop_pp)
+    gout_ref[3:4, :] = rowsum(ga_pp)
+    gout_ref[4:5, :] = rowsum(gb_pp)
+    gout_ref[5:6, :] = rowsum(gc_pp)
+    # grad wrt SH coefficients (clamped alpha, like the DC rgb grad)
+    w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
+    gout_ref[lo:hi, :] = _mm(gb, w_cl, (((1,), (0,))))
+    gout_ref[hi:, :] = jnp.zeros_like(gout_ref[hi:, :])
+
+    t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+    pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sh", "n_tiles", "x_tiles", "chunk", "interpret"),
+)
+def _render_bwd(feat, basis, meta, gi, *, n_sh, n_tiles, x_tiles, chunk,
+                interpret):
+    toc, tile_info = meta
+    n_splats = feat.shape[1]
+    n_chunks = n_splats // chunk
+    feat_rows = feat.shape[0]
+    basis_rows = basis.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (feat_rows, chunk), lambda w, toc, info: (0, w),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (basis_rows, cc.PIXELS_PER_TILE),
+                lambda w, toc, info: (0, toc[w]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
+                lambda w, toc, info: (0, toc[w]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (feat_rows, chunk), lambda w, toc, info: (0, w),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, n_sh, chunk, x_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (feat_rows, n_splats), jnp.float32
+        ),
+        interpret=interpret,
+    )(toc, tile_info, feat, basis, gi)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+def _finish(premul_t, background_rgb, n_tiles, empty_tile):
+    out = premul_t[:, : n_tiles * cc.PIXELS_PER_TILE]
+    rgb = jnp.where(empty_tile, 0.0, out[0:3, :])
+    T = jnp.where(empty_tile[0], 1.0, out[3, :])
+    bg_w = jnp.where(T > cc.BG_T_EPS, T, 0.0)
+    img = rgb + bg_w[None, :] * background_rgb[:, None]
+    return jnp.concatenate([img, T[None, :]], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _render_core(feat, basis, meta, background_rgb, empty_tile, n_sh,
+                 n_tiles, x_tiles, chunk, interpret):
+    raw = _render_fwd(
+        feat, basis, meta, n_sh=n_sh, n_tiles=n_tiles, x_tiles=x_tiles,
+        chunk=chunk, interpret=interpret,
+    )
+    return _finish(raw, background_rgb, n_tiles, empty_tile)
+
+
+def _render_core_fwd(feat, basis, meta, background_rgb, empty_tile, n_sh,
+                     n_tiles, x_tiles, chunk, interpret):
+    out = _render_core(
+        feat, basis, meta, background_rgb, empty_tile, n_sh, n_tiles,
+        x_tiles, chunk, interpret,
+    )
+    return out, (feat, basis, meta, out)
+
+
+def _render_core_bwd(n_sh, n_tiles, x_tiles, chunk, interpret, res, g_out):
+    feat, basis, meta, out = res
+    img, T = out[0:3, :], out[3, :]
+    g_img, g_t = g_out[0:3, :], g_out[3, :]
+    e_row = jnp.sum(img * g_img, axis=0) + g_t * T
+    pad = (n_tiles + 1) * cc.PIXELS_PER_TILE - e_row.shape[0]
+    gi = jnp.concatenate([g_img, e_row[None, :]], axis=0)
+    gi = jnp.pad(gi, ((0, cc.OUT_ROWS - 4), (0, pad)))
+    gfeat = _render_bwd(
+        feat, basis, meta, gi, n_sh=n_sh, n_tiles=n_tiles, x_tiles=x_tiles,
+        chunk=chunk, interpret=interpret,
+    )
+    bg_w = jnp.where(T > cc.BG_T_EPS, T, 0.0)
+    g_bg = jnp.sum(g_img * bg_w[None, :], axis=1)
+    g_basis = np.zeros(basis.shape, jax.dtypes.float0)
+    gmeta = tuple(np.zeros(m.shape, jax.dtypes.float0) for m in meta)
+    g_empty = np.zeros((1, n_tiles * cc.PIXELS_PER_TILE), jax.dtypes.float0)
+    return gfeat, g_basis, gmeta, g_bg, g_empty
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+def render_tiles_sh(
+    feat: jax.Array,       # (sh_feat_rows(n_sh) padded, S) splat features
+    basis: jax.Array,      # (pad8(n_sh), (n_tiles+1)*256) per-pixel SH basis
+    meta,
+    background_rgb: jax.Array,
+    tile_has_output: jax.Array,
+    *,
+    n_sh: int,
+    n_tiles: int,
+    x_tiles: int,
+    chunk: int,
+    interpret: bool | None = None,
+):
+    """Per-pixel-SH rasterization; returns (image (n_tiles,256,3), T)."""
+    if interpret is None:
+        interpret = default_interpret()
+    empty_tile = jnp.repeat(~tile_has_output, cc.PIXELS_PER_TILE)[None, :]
+    out = _render_core(
+        feat, jax.lax.stop_gradient(basis), meta, background_rgb,
+        jax.lax.stop_gradient(empty_tile),
+        n_sh, n_tiles, x_tiles, chunk, bool(interpret),
+    )
+    img = out[0:3, :].reshape(3, n_tiles, cc.PIXELS_PER_TILE)
+    T = out[3, :].reshape(n_tiles, cc.PIXELS_PER_TILE)
+    return jnp.moveaxis(img, 0, -1), T
+
+
+def build_pixel_basis(camera_K, width, height, camera_T_world, n_sh, grid):
+    """SH basis per padded-grid pixel, shaped (pad8(n_sh), (n_tiles+1)*256).
+
+    The view direction is the world-frame unit ray through each pixel
+    (reference: splat_py/utils.py:112-123 + render.cu:44-51).  The +1 tile
+    block keeps the kernels' dummy-chunk index in range.
+    """
+    from gaussian_splatting_tpu import geometry as geo
+    from gaussian_splatting_tpu.ops.reference_impl import image_to_tiles
+
+    rays = geo.compute_rays_in_world_frame(
+        camera_K, grid.image_width_padded, grid.image_height_padded,
+        camera_T_world,
+    )
+    basis = geo.sh_basis(rays, n_sh)  # (Hp, Wp, n_sh)
+    tiles = image_to_tiles(basis, grid)  # (n_tiles, 256, n_sh)
+    b = jnp.moveaxis(tiles, -1, 0).reshape(n_sh, -1)
+    rows = _pad8(n_sh)
+    b = jnp.pad(b, ((0, rows - n_sh), (0, 0)))
+    return jnp.pad(b, ((0, 0), (0, cc.PIXELS_PER_TILE)))

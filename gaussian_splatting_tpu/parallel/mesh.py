@@ -83,6 +83,9 @@ def dp_train_step(
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
         out_specs=P(),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # collectives above establish replication explicitly
+        check_vma=False,
     )
     def sharded(state, gt, K, pose, bg):
         uv_zero = jnp.zeros((cap, 2), jnp.float32)

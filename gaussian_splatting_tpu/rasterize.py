@@ -22,6 +22,7 @@ from gaussian_splatting_tpu.culling import (
 )
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.depth import depth_features, render_depth_tiles
+from gaussian_splatting_tpu.ops import render_sh as rsh
 from gaussian_splatting_tpu.ops.render import (
     build_chunk_meta,
     pad_feature_rows,
@@ -88,35 +89,55 @@ def rasterize(
     conic = geo.compute_conic(sigma_world, J, camera_T_world)
 
     n_sh = _active_sh_coeffs(n_sh_band)
-    if n_sh == 1:
-        render_rgb = params["rgb"]
-    elif use_sh_precompute:
+    opacity = jax.nn.sigmoid(params["opacity"])
+    per_pixel_sh = n_sh > 1 and not use_sh_precompute
+    if per_pixel_sh:
+        # per-pixel SH: carry the raw 3 x n_sh coefficients; the kernel
+        # contracts them with each pixel's view-direction basis
+        # (reference: splat_py/rasterize.py:95-99 else-branch)
         coeffs = jnp.concatenate(
             [params["rgb"][:, :, None], params["sh"][:, :, : n_sh - 1]], axis=2
         )
-        center = geo.camera_center_from_pose(camera_T_world)
-        render_rgb = geo.precompute_rgb_from_sh(coeffs, xyz, center)
+        feat_g = rsh.sh_splat_features(uv, opacity, conic, coeffs)
+        feat_rows = rsh._pad8(rsh.sh_feat_rows(n_sh))
     else:
-        raise NotImplementedError(
-            "per-pixel SH path lands with the SH-mode kernel variant"
-        )
+        if n_sh == 1:
+            render_rgb = params["rgb"]
+        else:
+            coeffs = jnp.concatenate(
+                [params["rgb"][:, :, None], params["sh"][:, :, : n_sh - 1]],
+                axis=2,
+            )
+            center = geo.camera_center_from_pose(camera_T_world)
+            render_rgb = geo.precompute_rgb_from_sh(coeffs, xyz, center)
+        # the DC-path rasterizer scales colour by SH_0 (src/render.cu
+        # sh_to_rgb with N_SH=1); fold it into the features so the kernel
+        # stays linear
+        feat_g = splat_features(uv, opacity, conic, render_rgb * geo.SH_0)
+        feat_rows = cc.FEAT_ROWS
 
-    opacity = jax.nn.sigmoid(params["opacity"])
-    # the DC-path rasterizer scales colour by SH_0 (src/render.cu sh_to_rgb
-    # with N_SH=1); fold it into the features so the kernel stays linear
-    feat_g = splat_features(uv, opacity, conic, render_rgb * geo.SH_0)
     layout, feat = layout_with_features(
         uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
         splat_capacity, chunk,
     )
     meta = build_chunk_meta(layout, grid.x_tiles)
-    feat = pad_feature_rows(feat)
+    feat = pad_feature_rows(feat, feat_rows)
 
-    img_tiles, T = render_tiles(
-        feat, meta, background_rgb, layout.tile_has_output,
-        n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
-        interpret=interpret,
-    )
+    if per_pixel_sh:
+        basis = rsh.build_pixel_basis(
+            camera.K, camera.width, camera.height, camera_T_world, n_sh, grid
+        )
+        img_tiles, T = rsh.render_tiles_sh(
+            feat, basis, meta, background_rgb, layout.tile_has_output,
+            n_sh=n_sh, n_tiles=grid.tile_count, x_tiles=grid.x_tiles,
+            chunk=chunk, interpret=interpret,
+        )
+    else:
+        img_tiles, T = render_tiles(
+            feat, meta, background_rgb, layout.tile_has_output,
+            n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
+            interpret=interpret,
+        )
     image = tiles_to_image(img_tiles, grid)
     return RenderResult(
         image=image,

@@ -64,6 +64,8 @@ class TrainingRunner:
             self.train_split = all_idx
 
         self._gt_cache = {}
+        self._splat_watermark: list = []
+        self._overflowed = False
         self._synthetic_gt()
 
     # -- data access --------------------------------------------------------
@@ -114,6 +116,28 @@ class TrainingRunner:
             return jnp.full(3, float(i % 255) / 255.0, jnp.float32)
         return jnp.zeros(3, jnp.float32)
 
+    def _rebucket_splat_capacity(self, cfg: SplatConfig) -> SplatConfig:
+        """Right-size the static splat capacity to the observed splat count.
+
+        Sort/kernel cost scales with the static capacity, not the live splat
+        count, so the runner keeps capacity in the smallest power-of-two
+        bucket holding ~1.6x the recent maximum (jit recompiles on a bucket
+        change, amortised over thousands of steps).  Overflow grows the
+        bucket immediately.
+        """
+        if not self._splat_watermark:
+            return cfg
+        want = int(max(self._splat_watermark) * 1.6) + 1
+        bucket = 1 << max(20, int(np.ceil(np.log2(want))))
+        if self._overflowed:
+            bucket = max(bucket, cfg.splat_capacity * 2)
+            self._overflowed = False
+        if bucket != cfg.splat_capacity:
+            print(f"  splat capacity {cfg.splat_capacity} -> {bucket}")
+            cfg = cfg.replace(splat_capacity=bucket)
+        self._splat_watermark.clear()
+        return cfg
+
     # -- main loop -----------------------------------------------------------
 
     def evaluate(self, save_images=False, iteration=0):
@@ -158,6 +182,8 @@ class TrainingRunner:
             im = self.data.images[idx]
             cam = self.data.cameras[im.camera_id]
             band = T.sh_band_for_iteration(cfg, i)
+            if self._overflowed or (i % 500 == 499):
+                cfg = self.config = self._rebucket_splat_capacity(cfg)
             self.state, info = T.train_step(
                 self.state,
                 jnp.asarray(self.gt_image(idx)),
@@ -175,6 +201,8 @@ class TrainingRunner:
             self.metrics.num_gaussians.append(
                 int(jnp.sum(self.state.alive.astype(jnp.int32)))
             )
+            self._splat_watermark.append(int(info["num_splats"]))
+            self._overflowed |= bool(info["overflow"])
 
             if i % cfg.print_interval == 0:
                 print(

@@ -1,0 +1,77 @@
+"""COLMAP binary parser round-trip: synthetic files, native C++ reader vs
+the pure-python fallback (reference: splat_py/read_colmap.py parsers)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def _write_synthetic(tmp_path, n_pts=100, n_imgs=5):
+    rng = np.random.default_rng(0)
+    # points3D.bin
+    xyz = rng.normal(size=(n_pts, 3))
+    rgb = rng.integers(0, 256, (n_pts, 3), dtype=np.uint8)
+    with open(tmp_path / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_pts))
+        for i in range(n_pts):
+            track_len = int(rng.integers(0, 4))
+            f.write(struct.pack("<q", i + 1))
+            f.write(struct.pack("<3d", *xyz[i]))
+            f.write(struct.pack("<3B", *rgb[i]))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", track_len))
+            f.write(b"\0" * (8 * track_len))
+    # images.bin
+    qvec = rng.normal(size=(n_imgs, 4))
+    tvec = rng.normal(size=(n_imgs, 3))
+    with open(tmp_path / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_imgs))
+        for i in range(n_imgs):
+            n2d = int(rng.integers(0, 3))
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", *qvec[i]))
+            f.write(struct.pack("<3d", *tvec[i]))
+            f.write(struct.pack("<i", 1))
+            f.write(f"frame_{i:04d}.jpg".encode() + b"\0")
+            f.write(struct.pack("<Q", n2d))
+            f.write(b"\0" * (24 * n2d))
+    # cameras.bin: one PINHOLE (model 1, 4 params), one SIMPLE_PINHOLE
+    with open(tmp_path / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<iiQQ", 1, 1, 1920, 1080))
+        f.write(struct.pack("<4d", 1000.0, 990.0, 960.0, 540.0))
+        f.write(struct.pack("<iiQQ", 2, 0, 640, 480))
+        f.write(struct.pack("<3d", 500.0, 320.0, 240.0))
+    return xyz, rgb, qvec, tvec
+
+
+def test_parsers_agree(tmp_path):
+    from gaussian_splatting_tpu.dataio import colmap, native
+
+    xyz, rgb, qvec, tvec = _write_synthetic(tmp_path)
+
+    got_xyz, got_rgb = colmap.read_points3d_bin(tmp_path / "points3D.bin")
+    np.testing.assert_allclose(got_xyz, xyz)
+    np.testing.assert_array_equal(got_rgb, rgb)
+
+    imgs = colmap.read_images_bin(tmp_path / "images.bin")
+    assert len(imgs) == 5
+    np.testing.assert_allclose(imgs[1].qvec, qvec[0])
+    np.testing.assert_allclose(imgs[3].tvec, tvec[2])
+    assert imgs[2].name == "frame_0001.jpg"
+    assert imgs[2].camera_id == 1
+
+    cams = colmap.read_cameras_bin(tmp_path / "cameras.bin")
+    assert cams[1].model == "PINHOLE"
+    assert cams[1].width == 1920 and cams[1].height == 1080
+    np.testing.assert_allclose(cams[1].params, [1000.0, 990.0, 960.0, 540.0])
+    assert cams[2].model == "SIMPLE_PINHOLE"
+    np.testing.assert_allclose(cams[2].params, [500.0, 320.0, 240.0])
+
+    # native reader must be live in this environment and agree exactly
+    nat = native.read_points3d(tmp_path / "points3D.bin")
+    assert nat is not None, "native reader failed to build/load"
+    np.testing.assert_allclose(nat["xyz"], xyz)
+    nat_imgs = native.read_images(tmp_path / "images.bin")
+    assert nat_imgs["names"][4] == "frame_0004.jpg"

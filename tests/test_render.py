@@ -19,7 +19,8 @@ def scene():
     return fx.test_scene(opacity_presigmoid=True)
 
 
-def _render(scene, n_sh_band=0, sh=None, background=None):
+def _render(scene, n_sh_band=0, sh=None, background=None,
+            use_sh_precompute=True):
     params = scene.params()
     if sh is not None:
         params = dict(params)
@@ -29,6 +30,7 @@ def _render(scene, n_sh_band=0, sh=None, background=None):
         params, scene.alive, fx.test_camera_T_world(), fx.test_camera(),
         near_thresh=0.3, far_thresh=100.0, cull_mask_padding=10.0,
         mh_dist=3.0, background_rgb=bg, n_sh_band=n_sh_band,
+        use_sh_precompute=use_sh_precompute,
         splat_capacity=CAP, chunk=256,
     )
 
@@ -103,3 +105,64 @@ def test_render_depth(scene):
     np.testing.assert_allclose(d[200, 348, 0], 13.205718040466309, atol=1e-4)
     # never-crossed pixels stay -1
     assert d[470, 10, 0] == -1.0
+
+
+def test_rasterize_full_sh_per_pixel(scene):
+    """Per-pixel-SH render against f64 brute-force oracle goldens.
+
+    Like test_rasterize_full_sh_precompute, the reference's golden values
+    for this path (test_rasterize.py:124-131) were generated under the
+    notebook basis variant, not the shipped standard-basis SH header we
+    implement; these values are pinned by an independent float64 per-pixel
+    compositing oracle (agreement ~5e-6) and sit ~0.1*sum(basis) away from
+    the reference numbers, exactly like the precompute case.
+    """
+    sh = jnp.full((6, 3, 15), 0.1, jnp.float32)
+    res = _render(scene, n_sh_band=3, sh=sh, use_sh_precompute=False)
+    img = np.asarray(res.image)
+    np.testing.assert_allclose(
+        img[340, 348], [0.63091441, 0.15392897, 0.15392897], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        img[200, 348], [0.14358045, 0.11027012, 0.37783123], atol=1e-5
+    )
+
+
+def test_per_pixel_sh_dc_only_matches_dc_path(scene):
+    """With zero higher-band coefficients, the per-pixel SH kernel must
+    reproduce the DC kernel exactly (basis row 0 is the constant SH_0)."""
+    res_pp = _render(
+        scene, n_sh_band=3,
+        sh=jnp.zeros((6, 3, 15), jnp.float32),
+        use_sh_precompute=False,
+    )
+    res_dc = _render(scene)
+    np.testing.assert_allclose(
+        np.asarray(res_pp.image), np.asarray(res_dc.image), atol=1e-6
+    )
+
+
+def test_per_pixel_sh_grads(scene):
+    """Gradients flow through the per-pixel SH kernel into every parameter
+    leaf, and the sh gradient is zero exactly where gaussians are culled."""
+    import jax
+
+    params = scene.params()
+
+    def loss(p):
+        res = rasterize(
+            p, scene.alive, fx.test_camera_T_world(), fx.test_camera(),
+            near_thresh=0.3, far_thresh=100.0, cull_mask_padding=10.0,
+            mh_dist=3.0, background_rgb=jnp.zeros(3, jnp.float32),
+            n_sh_band=3, use_sh_precompute=False,
+            splat_capacity=CAP, chunk=256,
+        )
+        return jnp.sum(res.image**2), res.visible
+
+    (_, visible), g = jax.value_and_grad(loss, has_aux=True)(params)
+    vis = np.asarray(visible)
+    for name in ("xyz", "rgb", "opacity", "scale", "quaternion", "sh"):
+        arr = np.asarray(g[name])
+        assert np.isfinite(arr).all(), name
+        assert np.abs(arr[vis]).sum() > 0, name
+        assert np.abs(arr[~vis]).sum() == 0, name
