@@ -52,12 +52,13 @@ def _local_loss(params, alive, uv_offset, gt, K, pose, bg, *, config,
         interpret=interpret,
     )
     loss, psnr = train_loss(res.image, gt, config.ssim_frac)
-    return loss, (psnr, res.visible)
+    return loss, (psnr, res.visible, res.num_splats, res.overflow)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "camera_hw", "n_sh_band", "mesh", "interpret"),
+    donate_argnums=(0,),
 )
 def dp_train_step(
     state,
@@ -75,6 +76,8 @@ def dp_train_step(
     """One data-parallel step: D cameras, one per device, grads psum-averaged.
 
     ``state`` must be replicated across the mesh; batches sharded on axis 0.
+    Returns (new_state, info dict) like trainer.train_step; num_splats is
+    the per-device maximum (the watermark signal), overflow is any-device.
     """
     cap = state.alive.shape[0]
 
@@ -83,8 +86,10 @@ def dp_train_step(
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
         out_specs=P(),
-        # pallas_call out_shapes carry no varying-mesh-axes annotation;
-        # collectives above establish replication explicitly
+        # pallas_call outputs carry no varying-mesh-axes annotation, so
+        # vma checking rejects this body even though every cross-device
+        # value is explicitly psum/pmean-reduced below; disabling the
+        # static check is safe here because nothing escapes un-reduced
         check_vma=False,
     )
     def sharded(state, gt, K, pose, bg):
@@ -97,13 +102,16 @@ def dp_train_step(
             argnums=(0, 2),
             has_aux=True,
         )
-        (loss, (psnr, visible)), (gparams, g_uv) = grad_fn(
+        (loss, aux), (gparams, g_uv) = grad_fn(
             state.params, state.alive, uv_zero, gt[0], K[0], pose[0], bg[0]
         )
+        psnr, visible, num_splats, overflow = aux
         # mean-reduce over the data axis (ICI collective)
         gparams = jax.lax.pmean(gparams, "data")
         loss = jax.lax.pmean(loss, "data")
         psnr = jax.lax.pmean(psnr, "data")
+        num_splats = jax.lax.pmax(num_splats, "data")
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data") > 0
 
         opt = optim.make_optimizer(config)
         updates, opt_state = opt.update(
@@ -129,7 +137,10 @@ def dp_train_step(
             xyz_grad_accum=state.xyz_grad_accum + xyz_grad,
             grad_accum_count=state.grad_accum_count + seen,
         )
-        return new_state, loss, psnr
+        info = dict(
+            loss=loss, psnr=psnr, num_splats=num_splats, overflow=overflow
+        )
+        return new_state, info
 
     return sharded(state, gt_batch, K_batch, pose_batch, bg_batch)
 

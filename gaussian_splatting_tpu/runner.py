@@ -66,6 +66,30 @@ class TrainingRunner:
         self._gt_cache = {}
         self._splat_watermark: list = []
         self._overflowed = False
+
+        # data parallelism: D cameras per step over a D-device mesh
+        # (config.data_parallel=1 keeps the reference's one-camera step)
+        self.mesh = None
+        if config.data_parallel > 1:
+            from gaussian_splatting_tpu.parallel import make_mesh
+            from gaussian_splatting_tpu.parallel.mesh import replicate_state
+
+            if config.data_parallel > len(jax.devices()):
+                raise ValueError(
+                    f"data_parallel={config.data_parallel} but only "
+                    f"{len(jax.devices())} devices are available"
+                )
+            sizes = {
+                (c.height, c.width) for c in data.cameras.values()
+            }
+            if len(sizes) > 1:
+                raise ValueError(
+                    "data_parallel>1 requires a single camera resolution; "
+                    f"got {sizes}"
+                )
+            self.mesh = make_mesh(config.data_parallel)
+            self.state = replicate_state(self.state, self.mesh)
+
         self._synthetic_gt()
 
     # -- data access --------------------------------------------------------
@@ -140,6 +164,48 @@ class TrainingRunner:
 
     # -- main loop -----------------------------------------------------------
 
+    def _dp_step(self, i: int, band: int, cfg: SplatConfig):
+        """One data-parallel step: D distinct train cameras, one per device.
+
+        The per-iteration background colour is shared by all D cameras
+        (reference semantics extended along the batch axis)."""
+        from gaussian_splatting_tpu.parallel import dp_train_step
+        from gaussian_splatting_tpu.parallel.mesh import shard_batch
+
+        d = cfg.data_parallel
+        idxs = self.rng.choice(
+            self.train_split, size=d, replace=len(self.train_split) < d
+        )
+        gts, Ks, poses = [], [], []
+        for idx in idxs:
+            im = self.data.images[int(idx)]
+            cam = self.data.cameras[im.camera_id]
+            gts.append(self.gt_image(int(idx)))
+            Ks.append(cam.K)
+            poses.append(im.camera_T_world)
+        cam0 = self.data.cameras[self.data.images[int(idxs[0])].camera_id]
+        bg = np.broadcast_to(np.asarray(self.background_for(i)), (d, 3))
+        self.state, info = dp_train_step(
+            self.state,
+            shard_batch(jnp.asarray(np.stack(gts)), self.mesh),
+            shard_batch(jnp.asarray(np.stack(Ks)), self.mesh),
+            shard_batch(jnp.asarray(np.stack(poses)), self.mesh),
+            shard_batch(jnp.asarray(bg), self.mesh),
+            config=cfg,
+            camera_hw=(cam0.height, cam0.width),
+            n_sh_band=band,
+            mesh=self.mesh,
+        )
+        return info
+
+    def _rereplicate(self):
+        """Keep the state replicated after non-DP jitted mutations (ADC,
+        opacity reset) when running on a mesh."""
+        if self.mesh is not None:
+            from gaussian_splatting_tpu.parallel.mesh import replicate_state
+
+            self.state = replicate_state(self.state, self.mesh)
+
     def evaluate(self, save_images=False, iteration=0):
         cfg = self.config
         psnrs, ssims = [], []
@@ -178,25 +244,28 @@ class TrainingRunner:
                 self.metrics.test_psnr.append(psnr)
                 print(f"\tTEST SPLIT PSNR: {psnr:.3f}, SSIM: {ssim:.4f}")
 
-            idx = int(self.rng.choice(self.train_split))
-            im = self.data.images[idx]
-            cam = self.data.cameras[im.camera_id]
             band = T.sh_band_for_iteration(cfg, i)
             if self._overflowed or (i % 500 == 499):
                 cfg = self.config = self._rebucket_splat_capacity(cfg)
-            self.state, info = T.train_step(
-                self.state,
-                jnp.asarray(self.gt_image(idx)),
-                jnp.asarray(cam.K),
-                jnp.asarray(im.camera_T_world),
-                self.background_for(i),
-                config=cfg,
-                camera_hw=(cam.height, cam.width),
-                n_sh_band=band,
-                use_background=bool(
-                    cfg.use_background and i < cfg.use_background_end
-                ),
-            )
+            if self.mesh is not None:
+                info = self._dp_step(i, band, cfg)
+            else:
+                idx = int(self.rng.choice(self.train_split))
+                im = self.data.images[idx]
+                cam = self.data.cameras[im.camera_id]
+                self.state, info = T.train_step(
+                    self.state,
+                    jnp.asarray(self.gt_image(idx)),
+                    jnp.asarray(cam.K),
+                    jnp.asarray(im.camera_T_world),
+                    self.background_for(i),
+                    config=cfg,
+                    camera_hw=(cam.height, cam.width),
+                    n_sh_band=band,
+                    use_background=bool(
+                        cfg.use_background and i < cfg.use_background_end
+                    ),
+                )
             self.metrics.train_psnr.append(float(info["psnr"]))
             self.metrics.num_gaussians.append(
                 int(jnp.sum(self.state.alive.astype(jnp.int32)))
@@ -221,6 +290,7 @@ class TrainingRunner:
                 self.state, stats = T.adaptive_density_control(
                     self.state, sub, jnp.float32(i), config=cfg
                 )
+                self._rereplicate()
                 print(
                     "  ADC: deleted {} cloned {} split {} alive {}".format(
                         int(stats["n_deleted"]), int(stats["n_clone"]),
@@ -236,6 +306,7 @@ class TrainingRunner:
             ):
                 print("\t\tResetting opacity")
                 self.state = T.reset_opacity(self.state, config=cfg)
+                self._rereplicate()
 
             if (
                 cfg.save_debug_image_interval > 0
