@@ -332,14 +332,25 @@ def _layout_impl(
     # boundary[i] = #gaussians with area > TIER_CELLS[i]
     for i, k_cells in enumerate(TIER_CELLS[1:], start=1):
         k_prev = TIER_CELLS[i - 1]
+        last_tier = i == len(TIER_CELLS) - 1
         start = jnp.sum((big_area > k_cells).astype(jnp.int32))
         cap_i = caps[i]
+        if last_tier:
+            # the last tier admits everything larger than the previous tier
+            # (one-sided) so gaussians whose window exceeds TIER_CELLS[-1]
+            # still render their first k_cells window cells instead of
+            # disappearing (and losing all gradient); their tail cells are
+            # truncated, which the overflow flag below reports
+            start = jnp.int32(0)
         idx_i = jax.lax.dynamic_slice(big_idx, (start,), (cap_i,))
         area_i = jax.lax.dynamic_slice(big_area, (start,), (cap_i,))
-        member = (area_i > k_prev) & (area_i <= k_cells)
+        member = area_i > k_prev
+        if not last_tier:
+            member &= area_i <= k_cells
         # segment longer than the tier capacity -> tail members dropped
+        upper = True if last_tier else (big_area <= k_cells)
         n_member = jnp.sum(
-            ((big_area > k_prev) & (big_area <= k_cells)).astype(jnp.int32)
+            ((big_area > k_prev) & upper).astype(jnp.int32)
         )
         dropped |= n_member > cap_i
         sel = lambda arr: arr[idx_i]
@@ -349,7 +360,8 @@ def _layout_impl(
         )
         tier_gid.append(idx_i)
         tier_feat.append(None if feat_g is None else feat_g[:, idx_i])
-    # gaussians too big for the last tier lose their tail cells
+    # gaussians too big for the last tier render only their first
+    # TIER_CELLS[-1] window cells (tail cells truncated)
     dropped |= jnp.any(big_area > TIER_CELLS[-1])
 
     # ---- SORT 1 over all padded candidates: keys (tile, z), values
