@@ -99,8 +99,11 @@ def compute_sigma_world(quaternion: jax.Array, scale: jax.Array) -> jax.Array:
     Normalises the quaternion and exponentiates the log-scale in-op, exactly
     like the reference kernel (src/projection.cu:56-112, MATH.md:46-75).
     """
-    norm = jnp.linalg.norm(quaternion, axis=1, keepdims=True)
-    ok = norm[:, 0] > 1e-12
+    # sqrt is guarded *inside* (not just the division): sqrt'(0) = inf, and
+    # 0-cotangent * inf = NaN would leak through a zero (dead-slot) quaternion
+    sumsq = jnp.sum(quaternion * quaternion, axis=1, keepdims=True)
+    ok = sumsq[:, 0] > 1e-24
+    norm = jnp.sqrt(jnp.where(ok[:, None], sumsq, 1.0))
     q = _safe_div(quaternion, norm, ok[:, None])
     # dead/degenerate slots fall back to identity rotation
     q = jnp.where(ok[:, None], q, jnp.array([1.0, 0, 0, 0], dtype=q.dtype))
@@ -193,8 +196,9 @@ def precompute_rgb_from_sh(
     if n_sh == 1:
         return sh_coeffs[:, :, 0]
     view = xyz - camera_center
-    norm = jnp.linalg.norm(view, axis=1, keepdims=True)
-    ok = norm[:, 0] > 1e-12
+    sumsq = jnp.sum(view * view, axis=1, keepdims=True)
+    ok = sumsq[:, 0] > 1e-24  # guard sqrt(0) like compute_sigma_world
+    norm = jnp.sqrt(jnp.where(ok[:, None], sumsq, 1.0))
     view = _safe_div(view, norm, ok[:, None])
     basis = sh_basis(view, n_sh)  # (N, n_sh)
     return jnp.einsum("ncs,ns->nc", sh_coeffs, basis) * R_SH_0
