@@ -76,6 +76,66 @@ def composite_dense(
     return img, T
 
 
+def composite_dense_sh(
+    feat: jax.Array,   # (n_tiles, L, 6 + 3*n_sh): u,v,op,a,b,c, coeffs
+    valid: jax.Array,  # (n_tiles, L) bool
+    basis: jax.Array,  # (n_tiles, 256, n_sh) per-pixel SH basis values
+    x_tiles: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel-SH front-to-back compositing oracle.
+
+    The splat colour at a pixel is the linear basis contraction
+    rgb[c] = sum_k basis[pixel, k] * coeff[c, k] — exactly sh_to_rgb
+    (reference: src/spherical_harmonics.cuh:76-98) inside the render loop
+    (src/render.cu:44-51,153).  Everything else matches `composite_dense`.
+    """
+    n_tiles, L, w = feat.shape
+    n_sh = (w - 6) // 3
+    dtype = feat.dtype
+
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (tiles % x_tiles).astype(dtype)
+    ty = (tiles // x_tiles).astype(dtype)
+    p = jnp.arange(cc.PIXELS_PER_TILE, dtype=jnp.int32)
+    upix = tx[:, None] * TILE_PX + (p % TILE_PX)[None, :].astype(dtype)
+    vpix = ty[:, None] * TILE_PX + (p // TILE_PX)[None, :].astype(dtype)
+
+    def step(carry, xs):
+        T, img = carry
+        f, ok = xs  # (n_tiles, 6+3*n_sh), (n_tiles,)
+        u = f[:, cc.FEAT_U, None]
+        v = f[:, cc.FEAT_V, None]
+        op = f[:, cc.FEAT_OPACITY, None]
+        a = f[:, cc.FEAT_A, None]
+        b = f[:, cc.FEAT_B, None]
+        c = f[:, cc.FEAT_C, None]
+        coeff = f[:, 6:].reshape(n_tiles, 3, n_sh)
+        # per-pixel colour from the basis contraction
+        rgb = jnp.einsum("npk,nck->npc", basis, coeff)  # (n_tiles, 256, 3)
+
+        du = upix - u
+        dv = vpix - v
+        det = a * c - b * b
+        mh = (c * du * du - 2.0 * b * du * dv + a * dv * dv) / det
+        prob = jnp.where(mh > 0.0, jnp.exp(-0.5 * mh), 0.0)
+        alpha = op * prob
+        at = jnp.where(alpha >= cc.ALPHA_SKIP, alpha, 0.0) * ok[:, None]
+        active = T >= cc.T_EPS
+        w_pix = jnp.where(active, at * T, 0.0)
+        img = img + w_pix[..., None] * rgb
+        T = jnp.where(active, T * (1.0 - at), T)
+        return (T, img), None
+
+    T0 = jnp.ones((n_tiles, cc.PIXELS_PER_TILE), dtype)
+    img0 = jnp.zeros((n_tiles, cc.PIXELS_PER_TILE, 3), dtype)
+    (T, img), _ = jax.lax.scan(
+        step,
+        (T0, img0),
+        (jnp.moveaxis(feat, 1, 0), jnp.moveaxis(valid.astype(dtype), 1, 0)),
+    )
+    return img, T
+
+
 def apply_background(img_premul, T_final, background_rgb):
     """Blend the background for unsaturated pixels
     (reference: src/render.cu:169-175).  Shapes broadcast over pixels."""
