@@ -34,8 +34,11 @@ def main():
     H, W = 840, 1296
     # splat capacity: the scene produces ~2.25M tile-gaussian pairs; a 4M
     # bucket holds them with headroom (the runner sizes this per scene and
-    # re-jits when a bucket is crossed; overflow is flagged)
-    config = SplatConfig(splat_capacity=1 << 22, chunk=256)
+    # re-jits when a bucket is crossed; overflow is flagged).  The visible
+    # bucket likewise mirrors what the runner would settle on.
+    config = SplatConfig(
+        splat_capacity=1 << 22, chunk=256, visible_capacity=1 << 20
+    )
 
     rng = np.random.default_rng(0)
     xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + np.array(
@@ -67,6 +70,12 @@ def main():
     # NOTE: jax.block_until_ready does not reliably block on the tunneled
     # axon backend; a scalar device_get is the only trustworthy sync.
     float(info["loss"])
+    if bool(info["overflow"]):
+        print(
+            f"WARNING: bench layout overflowed (visible="
+            f"{int(info['num_visible'])}, splats={int(info['num_splats'])})",
+            file=sys.stderr,
+        )
 
     n_iters = 10
     t0 = time.perf_counter()

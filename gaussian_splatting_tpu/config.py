@@ -95,6 +95,11 @@ class SplatConfig:
     gaussian_capacity: int = 0
     # flat splat-list capacity per frame (tile-gaussian intersections)
     splat_capacity: int = 1 << 23
+    # hard ceiling for the runner's automatic splat-capacity growth
+    max_splat_capacity: int = 1 << 24
+    # visible-gaussian compaction capacity per frame; 0 = gaussian capacity
+    # (the runner right-sizes this from the observed visible count)
+    visible_capacity: int = 0
     # rasterizer chunk length (splats per grid step)
     chunk: int = 256
     # random seed

@@ -12,18 +12,21 @@ shapes so it jit-compiles for TPU:
    clipped window area into tiers with K in (4, 16, 256, 4096) padded cells;
    invalid cells (outside the window or failing the separating-axis test,
    src/tile_culling.cu:8-66) key to a sentinel.
-3. ONE lexicographic ``lax.sort`` over all padded (tile_idx, depth, id)
-   candidates replaces the fp64 key sort ``z + tile_idx * (max_z + 1)``
-   (src/tile_culling.cu:236-237, 327-329); invalid cells sink to the tail.
-   Order is identical whenever depths are distinct.
+3. ONE ``lax.sort`` over a single packed int32 key ``tile << z_bits | zq``
+   per padded candidate replaces the fp64 key sort
+   ``z + tile_idx * (max_z + 1)`` (src/tile_culling.cu:236-237, 327-329);
+   invalid cells sink to the tail.  Order is identical whenever quantised
+   depths are distinct (zq keeps 8 exponent + (z_bits-8) mantissa bits).
 
 Performance note (the design driver): on TPU, element-wise irregular data
 movement (gather / scatter / segment_sum) lowers to a scalar-core loop at
 ~8-10 ms per million indices, while ``lax.sort`` is a data-oblivious
-vectorised network at ~2-3 ms per million elements carrying several operands.
-Everything here therefore rides one big sort over *padded* candidates; the
-only per-splat gather left is the final chunk-aligned regroup (one gather),
-plus the feature gather in the renderer.
+vectorised network whose cost is dominated by comparator/key work (extra
+value operands are nearly free).  Everything here therefore rides ONE big
+single-key sort over *padded* candidates; its output IS the rasterizer's
+input — the kernels walk the tile-grouped array in 128-aligned windows
+with lane masks (ops/render.build_step_meta), so there is no per-tile
+alignment pass and no per-splat gather anywhere.
 """
 
 from __future__ import annotations
@@ -39,41 +42,56 @@ from gaussian_splatting_tpu.structs import TILE_PX, TileGrid
 
 # Tier cell widths: a gaussian whose clipped window has at most K cells is
 # handled by the first tier with capacity left.  Tier 0 admits every
-# gaussian (4 padded cells); the big-gaussian tiers admit the largest
-# gaussians by window area, with per-frame capacities derived from
-# splat_capacity in build_splat_layout.
-TIER_CELLS = (4, 16, 256, 4096)
+# compacted visible gaussian (2 padded cells — most trained splats hit 1-2
+# tiles); the big-gaussian tiers admit contiguous segments of the
+# area-descending compacted ordering, with per-frame capacities derived
+# from splat_capacity in build_splat_layout.
+TIER_CELLS = (2, 4, 16, 256, 4096)
 # Floor on big-tier capacities so tiny scenes (e.g. the 6-gaussian test
 # fixture) still route their large gaussians somewhere.
 TIER_MIN = 64
 # Sentinel tile id for invalid candidate cells (sorts after any real tile).
 SENTINEL = jnp.int32(2**30)
+# Sentinel for packed (tile << z_bits | zq) candidate keys: int32 max, so
+# the extracted tile (all-ones) sorts after every real tile id.
+KEY_SENTINEL = jnp.int32(2**31 - 1)
 
 
 class SplatLayout(NamedTuple):
-    """Static-capacity, depth-sorted, chunk-aligned splat list.
+    """Static-capacity, tile-grouped, depth-sorted splat list.
 
-    All arrays have static shapes; `chunk` is the rasterizer chunk length.
+    All arrays have static shapes.  The list is the direct output of the
+    (tile, z) candidate sort — tile t's splats occupy the contiguous slot
+    range [tile_starts[t], tile_starts[t+1]) in front-to-back depth order,
+    with NO per-tile alignment padding (the rasterizer walks 128-aligned
+    windows of this array and lane-masks each tile's range; see
+    ops/render.build_step_meta).
 
     gaussian_idx : (S,) i32   gaussian id per splat slot (capacity id = pad)
-    tile_of_chunk: (S/chunk,) i32   owning tile per chunk (tile_count = pad)
-    chunk_in_tile: (S/chunk,) i32   position of the chunk within its tile
-    valid_in_chunk: (S/chunk,) i32  number of live splats in the chunk
-    tile_counts  : (tile_count,) i32  splats per tile
+    tile_starts  : (tile_count+1,) i32  slot range boundaries per tile
+    tile_counts  : (tile_count,) i32  splats per tile (= diff of starts)
     tile_has_output: (tile_count,) bool  kernel will write this tile's block
                    (false for empty tiles and capacity-truncated tiles)
     num_splats   : () i32   total live splats (before any capacity drop)
-    overflow     : () bool  true if work was dropped (capacity/tier limits)
+    num_visible  : () i32   contributing gaussians this frame (drives the
+                   runner's visible_capacity bucket)
+    overflow     : () bool  true if work was dropped because a *capacity*
+                   limit was hit (visible compaction, candidate tiers,
+                   splat capacity) — growing the capacities fixes these
+    truncated    : () bool  true if a gaussian's clipped window exceeded
+                   TIER_CELLS[-1] cells, so only its leading window cells
+                   rendered — no capacity growth can fix this (the runner
+                   must not grow the bucket for it)
     """
 
     gaussian_idx: jax.Array
-    tile_of_chunk: jax.Array
-    chunk_in_tile: jax.Array
-    valid_in_chunk: jax.Array
+    tile_starts: jax.Array
     tile_counts: jax.Array
     tile_has_output: jax.Array
     num_splats: jax.Array
+    num_visible: jax.Array
     overflow: jax.Array
+    truncated: jax.Array
 
 
 def frustum_visible(
@@ -217,12 +235,28 @@ def _window(obb, x_tiles, y_tiles):
     return sx, sy, wx, wy
 
 
-def _tier_tiles(sx, sy, wx, wy, obb, member, k_cells, x_tiles):
+def _z_bits_for(n_tiles: int) -> int:
+    """Bit split of the packed (tile, z) sort key.
+
+    The key is a single non-negative int32 ``tile << z_bits | zq`` — one
+    key halves comparator work vs the reference's fp64 key
+    ``z + tile * (max_z + 1)`` (src/tile_culling.cu:236-237) re-expressed
+    as a 2-key lexicographic sort.  zq is the top z_bits of the float32 bit
+    pattern of z (monotone for z > 0), i.e. depth quantised to
+    (z_bits - 8) mantissa bits; equal-key splats composite in arbitrary
+    order, which only matters for coincident-depth overlaps.
+    """
+    tile_bits = max(int(math.ceil(math.log2(n_tiles + 2))), 1)
+    return 31 - tile_bits
+
+
+def _tier_keys(sx, sy, wx, wy, obb, member, zq, k_cells, x_tiles, z_bits):
     """SAT-test up to k_cells window cells for a tier's gaussians.
 
-    Returns (K, M) i32 tile ids; cells outside the window / failing the SAT
-    / of non-member columns hold SENTINEL.  Cell enumeration is tile_x outer
-    / tile_y inner like the reference loops (tile_culling.cu:159-160).
+    Returns (K, M) i32 packed sort keys (tile << z_bits | zq); cells
+    outside the window / failing the SAT / of non-member columns hold
+    SENTINEL.  Cell enumeration is tile_x outer / tile_y inner like the
+    reference loops (tile_culling.cu:159-160).
 
     The cell axis is the MAJOR axis on purpose: (M, K) arrays with K ≪ 128
     get catastrophic TPU layouts (the lane dim underfills), which blew up
@@ -236,19 +270,21 @@ def _tier_tiles(sx, sy, wx, wy, obb, member, k_cells, x_tiles):
     ty = sy[None, :] + iy
     in_window = k[:, None] < (wx * wy)[None, :]
     hit = in_window & member[None, :] & _split_axis_test(obb[None, :, :], tx, ty)
-    return jnp.where(hit, ty * x_tiles + tx, SENTINEL)
+    key = jax.lax.shift_left(ty * x_tiles + tx, jnp.int32(z_bits)) | zq[None, :]
+    return jnp.where(hit, key, KEY_SENTINEL)
 
 
-def _tier_capacities(n: int, splat_capacity: int):
+def _tier_capacities(m_comp: int, splat_capacity: int):
     """Per-frame candidate capacities for the big-gaussian tiers.
 
-    Tier 0 (<=4 cells) admits every gaussian.  Each later tier's padded
-    candidate contribution is capped at splat_capacity//4, bounding the
-    big sort at 4N + 0.75*splat_capacity entries.
+    Tier 0 (<= TIER_CELLS[0] cells) admits every compacted visible
+    gaussian.  Each later tier's padded candidate contribution is capped at
+    splat_capacity//4, bounding the big sort at
+    TIER_CELLS[0]*m_comp + (len(TIER_CELLS)-1)/4*splat_capacity entries.
     """
-    caps = [n]
+    caps = [m_comp]
     for k in TIER_CELLS[1:]:
-        caps.append(min(n, max(TIER_MIN, splat_capacity // (4 * k))))
+        caps.append(min(m_comp, max(TIER_MIN, splat_capacity // (4 * k))))
     return tuple(caps)
 
 
@@ -262,14 +298,26 @@ def _layout_impl(
     mh_dist: float,
     splat_capacity: int,
     chunk: int,
+    visible_capacity: int = 0,
 ):
-    """Assign gaussians to tiles, depth-sort per tile, chunk-align.
+    """Assign gaussians to tiles and depth-sort per tile.
 
     Replaces get_sorted_gaussian_list (src/tile_culling.cu:244-340).
     Returns (SplatLayout, feat (R, splat_capacity) or None): per-gaussian
-    feature rows are expanded to chunk-aligned per-splat columns by CARRYING
-    them as sort operands (extra sort operands are nearly free on TPU,
-    while a per-splat gather costs ~10-30x more).
+    feature rows are expanded to per-splat columns by CARRYING them as sort
+    operands (extra sort operands are nearly free on TPU, while a per-splat
+    gather costs ~10-30x more).
+
+    Two sorts total:
+    1. a COMPACTION sort over the N capacity slots, keyed by descending
+       clipped window area (invisible / empty-window slots last), truncated
+       to ``visible_capacity`` columns.  This makes every tier a contiguous
+       segment of one ordering (no top_k) and shrinks all downstream
+       candidate work from capacity scale to visible scale;
+    2. THE candidate sort over the padded tier cells with one packed
+       (tile, z) i32 key — its output IS the rasterizer input (the kernels
+       walk the tile-grouped array with lane masks, ops/render
+       .build_step_meta), so no chunk-alignment spread pass exists.
     """
     n = uv.shape[0]
     n_tiles = grid.tile_count
@@ -309,85 +357,119 @@ def _layout_impl(
     sx, sy, wx, wy = _window(obb, grid.x_tiles, grid.y_tiles)
     area = jnp.where(visible, wx * wy, 0)
 
-    k0 = TIER_CELLS[0]
-    caps = _tier_capacities(n, s_cap)
+    # per-gaussian quantised depth for the packed sort key: the top z_bits
+    # of the float32 bit pattern (monotone for z > 0; invisible/garbage z
+    # never reaches a key because `hit` masks it to the sentinel)
+    z_bits = _z_bits_for(n_tiles)
+    zq = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(
+            jnp.maximum(z_camera.astype(jnp.float32), 1e-30), jnp.int32
+        ),
+        jnp.int32(31 - z_bits),
+    )
 
-    # Big gaussians (window > k0 cells), largest first.  Tier membership is
-    # then a contiguous segment of this ordering: descending area means all
-    # tier-i members precede tier-(i-1) members, so each tier takes a
-    # dynamic_slice of static capacity at its boundary.
-    n_big_total = jnp.sum((area > k0).astype(jnp.int32))
-    m_big = min(n, max(TIER_MIN, sum(caps[1:])))
-    big_area, big_idx = jax.lax.top_k(area, m_big)
-    big_idx = big_idx.astype(jnp.int32)
-
+    # ---- COMPACTION sort: order capacity slots by descending clipped
+    # window area (contributing slots first), carrying everything the tier
+    # expansion needs.  After truncation to m_comp columns, every tier is a
+    # contiguous segment: [0, #area>k) boundaries by simple counts.
+    AREA_CLIP = TIER_CELLS[-1] + 2  # above the last tier boundary
+    contributes = visible & (area > 0)
+    n_vis = jnp.sum(contributes.astype(jnp.int32))
+    comp_key = jnp.where(
+        contributes, AREA_CLIP - jnp.minimum(area, AREA_CLIP - 1),
+        KEY_SENTINEL,
+    )
+    m_comp = min(n, max(visible_capacity, TIER_MIN)) if visible_capacity \
+        else n
     n_rows = 0 if feat_g is None else feat_g.shape[0]
-    tier_tiles = [
-        _tier_tiles(sx, sy, wx, wy, obb, visible & (area <= k0), k0,
-                    grid.x_tiles)
+    comp_ops = [
+        comp_key, zq, jnp.arange(n, dtype=jnp.int32),
+        sx, sy, wx, wy,
+    ] + [obb[:, j] for j in range(8)]
+    if n_rows:
+        comp_ops += [feat_g[r] for r in range(n_rows)]
+    comp = jax.lax.sort(
+        tuple(jax.lax.optimization_barrier(tuple(comp_ops))),
+        num_keys=1, is_stable=False,
+    )
+    zq_c, gid_c = comp[1][:m_comp], comp[2][:m_comp]
+    sx_c, sy_c = comp[3][:m_comp], comp[4][:m_comp]
+    wx_c, wy_c = comp[5][:m_comp], comp[6][:m_comp]
+    obb_c = jnp.stack([comp[7 + j][:m_comp] for j in range(8)], axis=-1)
+    feat_c = None
+    if n_rows:
+        feat_c = jnp.stack([comp[15 + r][:m_comp] for r in range(n_rows)])
+    slot = jnp.arange(m_comp, dtype=jnp.int32)
+    in_vis = slot < jnp.minimum(n_vis, m_comp)
+    area_c = jnp.where(in_vis, wx_c * wy_c, 0)  # non-increasing (clipped)
+    dropped = n_vis > m_comp  # visible-capacity overflow (grow to fix)
+
+    k0 = TIER_CELLS[0]
+    caps = _tier_capacities(m_comp, s_cap)
+
+    tier_keys = [
+        _tier_keys(sx_c, sy_c, wx_c, wy_c, obb_c, in_vis & (area_c <= k0),
+                   zq_c, k0, grid.x_tiles, z_bits)
     ]
-    tier_gid = [jnp.arange(n, dtype=jnp.int32)]
-    tier_feat = [feat_g]
-    dropped = n_big_total > m_big
-    # boundary[i] = #gaussians with area > TIER_CELLS[i]
+    tier_gid = [gid_c]
+    tier_feat = [feat_c]
+    # boundary[i] = #compacted gaussians with area > TIER_CELLS[i]
     for i, k_cells in enumerate(TIER_CELLS[1:], start=1):
         k_prev = TIER_CELLS[i - 1]
         last_tier = i == len(TIER_CELLS) - 1
-        start = jnp.sum((big_area > k_cells).astype(jnp.int32))
+        start = jnp.sum((area_c > k_cells).astype(jnp.int32))
         cap_i = caps[i]
         if last_tier:
             # the last tier admits everything larger than the previous tier
             # (one-sided) so gaussians whose window exceeds TIER_CELLS[-1]
             # still render their first k_cells window cells instead of
             # disappearing (and losing all gradient); their tail cells are
-            # truncated, which the overflow flag below reports
+            # truncated, which the `truncated` flag below reports
             start = jnp.int32(0)
-        idx_i = jax.lax.dynamic_slice(big_idx, (start,), (cap_i,))
-        area_i = jax.lax.dynamic_slice(big_area, (start,), (cap_i,))
+        sel = lambda arr: jax.lax.dynamic_slice_in_dim(arr, start, cap_i, 0)
+        area_i = sel(area_c)
         member = area_i > k_prev
         if not last_tier:
             member &= area_i <= k_cells
         # segment longer than the tier capacity -> tail members dropped
-        upper = True if last_tier else (big_area <= k_cells)
+        upper = True if last_tier else (area_c <= k_cells)
         n_member = jnp.sum(
-            ((big_area > k_prev) & upper).astype(jnp.int32)
+            ((area_c > k_prev) & upper).astype(jnp.int32)
         )
         dropped |= n_member > cap_i
-        sel = lambda arr: arr[idx_i]
-        tier_tiles.append(
-            _tier_tiles(sel(sx), sel(sy), sel(wx), sel(wy), sel(obb),
-                        member, k_cells, grid.x_tiles)
+        tier_keys.append(
+            _tier_keys(sel(sx_c), sel(sy_c), sel(wx_c), sel(wy_c),
+                       jax.lax.dynamic_slice_in_dim(obb_c, start, cap_i, 0),
+                       member, sel(zq_c), k_cells, grid.x_tiles, z_bits)
         )
-        tier_gid.append(idx_i)
-        tier_feat.append(None if feat_g is None else feat_g[:, idx_i])
+        tier_gid.append(sel(gid_c))
+        tier_feat.append(
+            None if feat_c is None
+            else jax.lax.dynamic_slice_in_dim(feat_c, start, cap_i, 1)
+        )
     # gaussians too big for the last tier render only their first
-    # TIER_CELLS[-1] window cells (tail cells truncated)
-    dropped |= jnp.any(big_area > TIER_CELLS[-1])
+    # TIER_CELLS[-1] window cells (tail cells truncated) — reported
+    # separately from `dropped` because no capacity growth can fix it
+    truncated = jnp.any(area_c > TIER_CELLS[-1])
 
-    # ---- SORT 1 over all padded candidates: keys (tile, z), values
-    # (gid, feature rows).  z / gid / features are regular row broadcasts
-    # (no per-candidate gathers).
+    # ---- THE sort, over all padded candidates: one packed (tile, z) i32
+    # key, values (gid, feature rows).  gid / features are regular row
+    # broadcasts (no per-candidate gathers).
     def flat(arrs):
         return jnp.concatenate([x.reshape(-1) for x in arrs])
 
-    cand_tile = flat(tier_tiles)
+    cand_key = flat(tier_keys)
     cand_gid = flat(
         [
             jnp.broadcast_to(g[None, :], t.shape)
-            for g, t in zip(tier_gid, tier_tiles)
-        ]
-    )
-    cand_z = flat(
-        [
-            jnp.broadcast_to(z_camera[g][None, :], t.shape)
-            for g, t in zip(tier_gid, tier_tiles)
+            for g, t in zip(tier_gid, tier_keys)
         ]
     )
     cand_feat = [
         flat(
             [
                 jnp.broadcast_to(f[r][None, :], t.shape)
-                for f, t in zip(tier_feat, tier_tiles)
+                for f, t in zip(tier_feat, tier_keys)
             ]
         )
         for r in range(n_rows)
@@ -395,24 +477,33 @@ def _layout_impl(
     # barrier: without it XLA fuses a copy of the whole SAT/obb producer
     # chain into each sort operand, bloating generated code several-fold
     ops = jax.lax.optimization_barrier(
-        tuple([cand_tile, cand_z, cand_gid] + cand_feat)
+        tuple([cand_key, cand_gid] + cand_feat)
     )
-    sorted1 = jax.lax.sort(ops, num_keys=2, is_stable=False)
-    sort_tile, sort_gid = sorted1[0], sorted1[2]
-    sort_feat = list(sorted1[3:])
-    c_cand = sort_tile.shape[0]
+    sorted1 = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    sort_key, sort_gid = sorted1[0], sorted1[1]
+    sort_feat = list(sorted1[2:])
+    c_cand = sort_key.shape[0]
+    sort_tile = jax.lax.shift_right_logical(sort_key, jnp.int32(z_bits))
     num_splats = jnp.sum((sort_tile < n_tiles).astype(jnp.int32))
     overflow = dropped | (num_splats > s_cap)
     if c_cand < s_cap:
-        sort_tile = jnp.pad(sort_tile, (0, s_cap - c_cand),
-                            constant_values=2**30)
+        sort_tile = jnp.pad(
+            sort_tile, (0, s_cap - c_cand),
+            constant_values=int(KEY_SENTINEL) >> z_bits,
+        )
         sort_gid = jnp.pad(sort_gid, (0, s_cap - c_cand), constant_values=n)
         sort_feat = [jnp.pad(f, (0, s_cap - c_cand)) for f in sort_feat]
     else:
         sort_tile = sort_tile[:s_cap]
         sort_gid = sort_gid[:s_cap]
         sort_feat = [f[:s_cap] for f in sort_feat]
-    sort_gid = jnp.where(sort_tile < n_tiles, sort_gid, n)
+    valid_slot = sort_tile < n_tiles
+    gaussian_idx = jnp.where(valid_slot, sort_gid, n)
+    feat = None
+    if n_rows:
+        feat = jnp.stack(
+            [jnp.where(valid_slot, f, 0.0) for f in sort_feat]
+        )
 
     # ---- per-tile boundaries via binary search (n_tiles-scale, cheap)
     tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
@@ -420,91 +511,17 @@ def _layout_impl(
         jnp.int32
     )
     tile_counts = starts[1:] - starts[:-1]
-    start_of_tile = starts[:-1]
-
-    tile_chunks = -(-tile_counts // chunk)  # ceil
-    chunk_offset = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_chunks, dtype=jnp.int32)]
-    )
-    # chunk alignment can inflate past capacity even when num_splats fits
-    overflow |= chunk_offset[n_tiles] * chunk > s_cap
-
-    # ---- chunk metadata (n_chunks-scale, cheap)
-    n_chunks = s_cap // chunk
-    chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
-    used_chunks = chunk_offset[n_tiles]
-    # tile_of_chunk via inverse of chunk_offset: scatter tile starts, cummax
-    marker = jnp.zeros((n_chunks + 1,), jnp.int32).at[chunk_offset[:n_tiles]].max(
-        jnp.arange(n_tiles, dtype=jnp.int32)
-        * (tile_chunks > 0)  # only tiles that own chunks place markers
-    )
-    tile_of_chunk = jax.lax.cummax(marker[:n_chunks])
-    tile_of_chunk = jnp.where(chunk_ids < used_chunks, tile_of_chunk, n_tiles)
-    toc_safe = jnp.minimum(tile_of_chunk, n_tiles - 1)
-    chunk_in_tile = chunk_ids - chunk_offset[toc_safe]
-    chunk_in_tile = jnp.where(chunk_ids < used_chunks, chunk_in_tile, 0)
-    remaining = tile_counts[toc_safe] - chunk_in_tile * chunk
-    valid_in_chunk = jnp.clip(remaining, 0, chunk)
-    valid_in_chunk = jnp.where(chunk_ids < used_chunks, valid_in_chunk, 0)
-
-    # a tile's block is only written if at least its first chunk is within
-    # the (static) chunk array — truncation can only cut the tail tiles
-    tile_has_output = (tile_chunks > 0) & (chunk_offset[:n_tiles] < n_chunks)
-
-    # ---- SORT 2: spread the tile-sorted splats into chunk-aligned slots.
-    # Every destination in [0, used_chunks*chunk) is covered exactly once —
-    # real splats go to chunk_base[tile] + rank_in_tile, and per-tile gap
-    # dummies fill the chunk-padding tail — so sorting by destination IS the
-    # spread (no per-splat gather/scatter).
-    #
-    # dest_i = i + shift[tile_i] with shift[t] = chunk_base[t] - start[t]
-    # (non-decreasing in t), realised as a step function over sorted slots
-    # via a tiny scatter + cummax.
-    chunk_base = chunk_offset[:n_tiles] * chunk
-    shift = chunk_base - start_of_tile  # (n_tiles,) non-decreasing
-    m = jnp.zeros((s_cap + 1,), jnp.int32).at[
-        jnp.minimum(start_of_tile, s_cap)
-    ].max(shift, mode="drop")
-    shift_step = jax.lax.cummax(m[:s_cap])
-    slot = jnp.arange(s_cap, dtype=jnp.int32)
-    real_valid = sort_tile < n_tiles
-    dest_real = slot + shift_step
-    dest_real = jnp.where(
-        real_valid & (dest_real < s_cap), dest_real, SENTINEL
-    )
-    # gap dummies: tile t owns gap_t = chunks*chunk - count padding slots
-    gap = tile_chunks * chunk - tile_counts  # (n_tiles,), in [0, chunk)
-    j = jnp.arange(chunk, dtype=jnp.int32)
-    dest_gap = (chunk_base + tile_counts)[:, None] + j[None, :]
-    gap_ok = (j[None, :] < gap[:, None]) & (dest_gap < s_cap)
-    dest_gap = jnp.where(gap_ok, dest_gap, SENTINEL).reshape(-1)
-
-    keys2 = jnp.concatenate([dest_real, dest_gap])
-    gid2 = jnp.concatenate(
-        [sort_gid, jnp.full((n_tiles * chunk,), n, jnp.int32)]
-    )
-    feat2 = [
-        jnp.concatenate([f, jnp.zeros((n_tiles * chunk,), f.dtype)])
-        for f in sort_feat
-    ]
-    sorted2 = jax.lax.sort(
-        tuple([keys2, gid2] + feat2), num_keys=1, is_stable=False
-    )
-    ok2 = sorted2[0][:s_cap] < SENTINEL
-    gaussian_idx = jnp.where(ok2, sorted2[1][:s_cap], n)
-    feat = None
-    if n_rows:
-        feat = jnp.stack([jnp.where(ok2, f[:s_cap], 0.0) for f in sorted2[2:]])
+    tile_has_output = tile_counts > 0
 
     layout = SplatLayout(
         gaussian_idx=gaussian_idx,
-        tile_of_chunk=tile_of_chunk,
-        chunk_in_tile=chunk_in_tile,
-        valid_in_chunk=valid_in_chunk,
+        tile_starts=starts,
         tile_counts=tile_counts,
         tile_has_output=tile_has_output,
         num_splats=num_splats,
+        num_visible=n_vis,
         overflow=overflow,
+        truncated=truncated,
     )
     return layout, feat
 
@@ -518,11 +535,12 @@ def build_splat_layout(
     mh_dist: float,
     splat_capacity: int,
     chunk: int,
+    visible_capacity: int = 0,
 ) -> SplatLayout:
     """Layout only (no feature carry) — tests and tooling."""
     layout, _ = _layout_impl(
         uv, conic, z_camera, visible, None, grid, mh_dist, splat_capacity,
-        chunk,
+        chunk, visible_capacity,
     )
     return layout
 
@@ -541,14 +559,28 @@ def reduce_rows_by_gid(rows: jax.Array, gid: jax.Array, cap: int) -> jax.Array:
          inclusive prefix total up to and including its gaussian's run;
       3. sort dummies to the front by gid (unique keys -> dense positions)
          and take adjacent differences: out[g] = csum@dummy_g - csum@dummy_{g-1}.
+
+    The prefix sum is *compensated*: a plain f32 running sum over S+cap
+    entries makes the adjacent difference cancel to ~ulp(global prefix),
+    a scale-dependent relative error of up to ~10% per gaussian at
+    multi-million splat counts with one-signed rows (the reference's
+    scatter-add, render_backward.cu:238-282, only ever adds per-gaussian
+    terms).  A Fast2Sum residual cumsum (`lo`) is carried alongside and
+    both differences are taken before recombining, so the error is bounded
+    by the *residual* magnitude, not the global prefix.
     """
     r, s = rows.shape
     valid = gid < cap
-    key1 = jnp.where(valid, gid, SENTINEL)
+    # one packed key: gid*2 for real entries, gid*2+1 for the dummies, so
+    # each dummy sorts directly after its gaussian's run (invalid reals key
+    # past every dummy)
+    key1 = jnp.where(valid, gid * 2, jnp.int32(2**31 - 2))
+    keys = jnp.concatenate(
+        [key1, jnp.arange(cap, dtype=jnp.int32) * 2 + 1]
+    )
     flag = jnp.concatenate(
         [jnp.zeros((s,), jnp.int32), jnp.ones((cap,), jnp.int32)]
     )
-    keys = jnp.concatenate([key1, jnp.arange(cap, dtype=jnp.int32)])
     # sanitise: dead-lane grads can be NaN (harmless in the scatter design,
     # fatal in a cumsum)
     rows = jnp.where(valid[None, :], rows, 0.0)
@@ -556,26 +588,35 @@ def reduce_rows_by_gid(rows: jax.Array, gid: jax.Array, cap: int) -> jax.Array:
         jnp.concatenate([rows[i], jnp.zeros((cap,), rows.dtype)])
         for i in range(r)
     ]
-    sorted1 = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
-    skey, sflag = sorted1[0], sorted1[1]
+    sorted1 = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
+    skey, sflag = sorted1[0] >> 1, sorted1[1]
     # one (R, S+cap) cumsum (sublane-vectorised) instead of R separate scans
-    csum = jnp.cumsum(jnp.stack(sorted1[2:]), axis=1)
-    key2 = jnp.where((sflag == 1) & (skey < SENTINEL), skey, SENTINEL)
+    vals = jnp.stack(sorted1[2:])
+    hi = jnp.cumsum(vals, axis=1)
+    # Fast2Sum residual of each running add: err_i = v_i - (hi_i - hi_{i-1})
+    # (exact when |hi_{i-1}| >= |v_i|, ~ulp(v_i) otherwise); its cumsum is
+    # the small-magnitude correction of the prefix
+    hi_prev = jnp.concatenate([jnp.zeros((r, 1), hi.dtype), hi[:, :-1]], 1)
+    lo = jnp.cumsum(vals - (hi - hi_prev), axis=1)
+    key2 = jnp.where(sflag == 1, skey, SENTINEL)
     sorted2 = jax.lax.sort(
-        tuple([key2] + [csum[i] for i in range(r)]),
+        tuple([key2] + [hi[i] for i in range(r)] + [lo[i] for i in range(r)]),
         num_keys=1, is_stable=False,
     )
-    dense = jnp.stack([x[:cap] for x in sorted2[1:]])  # (R, cap)
-    prev = jnp.concatenate(
-        [jnp.zeros((r, 1), dense.dtype), dense[:, :-1]], axis=1
-    )
-    return dense - prev
+    dense_hi = jnp.stack([x[:cap] for x in sorted2[1 : 1 + r]])
+    dense_lo = jnp.stack([x[:cap] for x in sorted2[1 + r :]])
+
+    def adj_diff(d):
+        prev = jnp.concatenate([jnp.zeros((r, 1), d.dtype), d[:, :-1]], 1)
+        return d - prev
+
+    return adj_diff(dense_hi) + adj_diff(dense_lo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def layout_with_features(
     uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-    chunk,
+    chunk, visible_capacity=0,
 ):
     """(layout, feat): tile assignment + per-splat feature expansion.
 
@@ -588,15 +629,15 @@ def layout_with_features(
     """
     return _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-        chunk,
+        chunk, visible_capacity,
     )
 
 
 def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
-             splat_capacity, chunk):
+             splat_capacity, chunk, visible_capacity=0):
     out = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-        chunk,
+        chunk, visible_capacity,
     )
     layout, _ = out
     res = (
@@ -607,7 +648,8 @@ def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
     return out, res
 
 
-def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, res, cot):
+def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity, res,
+             cot):
     import numpy as np
 
     gidx, uv_s, conic_s, z_s, vis_s, feat_s = res
@@ -625,24 +667,17 @@ def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, res, cot):
 layout_with_features.defvjp(_lwf_fwd, _lwf_bwd)
 
 
-def sorted_splat_list(layout: SplatLayout, grid: TileGrid, chunk: int):
+def sorted_splat_list(layout: SplatLayout, grid: TileGrid, chunk: int = 0):
     """Reference-parity view of the layout: the dense depth-sorted gaussian
     list and the (tile_count+1,) start/end boundaries, as returned by
-    get_sorted_gaussian_list (src/tile_culling.cu:244-340).
+    get_sorted_gaussian_list (src/tile_culling.cu:244-340).  The layout IS
+    this list now (tile-grouped, no alignment padding), so this is a slice.
 
     Returns numpy arrays (host); for tests/debugging, not the hot path.
     """
     import numpy as np
 
+    del chunk  # layout no longer depends on the rasterizer chunk length
     gid = np.asarray(layout.gaussian_idx)
-    counts = np.asarray(layout.tile_counts)
-    n_tiles = grid.tile_count
-    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-    out = np.empty(starts[-1], dtype=np.int32)
-    chunk_offsets = np.concatenate(
-        [[0], np.cumsum(-(-counts // chunk))]
-    ).astype(np.int32)
-    for t in range(n_tiles):
-        s = chunk_offsets[t] * chunk
-        out[starts[t] : starts[t + 1]] = gid[s : s + counts[t]]
-    return out, starts
+    starts = np.asarray(layout.tile_starts)
+    return gid[: starts[-1]], starts

@@ -20,10 +20,10 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.render import (
     _alpha_terms,
-    _chunk_scalars,
     _col_to_row,
     _log_one_minus,
     _pixel_coords,
+    _step_scalars,
     _tri_matrices,
     default_interpret,
 )
@@ -47,11 +47,12 @@ def depth_features(uv, opacity, conic, xyz_camera):
     return jnp.stack(rows)
 
 
-def _depth_kernel(alpha_threshold, chunk_len, x_tiles, toc_ref, info_ref,
-                  feat_ref, out_ref, t_col, depth_col, found_col):
-    w = pl.program_id(0)
-    _, first, last, nvalid, tx, ty = _chunk_scalars(
-        toc_ref, info_ref, w, chunk_len, x_tiles
+def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,
+                  wout_ref, info_ref, feat_ref, out_ref, t_col, depth_col,
+                  found_col):
+    s = pl.program_id(0)
+    _, first, last, _, lo, hi, tx, ty = _step_scalars(
+        tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
     )
 
     @pl.when(first)
@@ -60,16 +61,15 @@ def _depth_kernel(alpha_threshold, chunk_len, x_tiles, toc_ref, info_ref,
         depth_col[:] = jnp.full_like(depth_col, -1.0)
         found_col[:] = jnp.zeros_like(found_col)
 
-    @pl.when(nvalid > 0)
+    @pl.when(hi > lo)
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
         upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, nvalid)
+        t = _alpha_terms(f, upix, vpix, lo, hi)
         # the depth walk uses the raw alpha (no 1/255 skip): zero only the
-        # out-of-count lanes
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        at = jnp.where(lane < nvalid, t["alpha"], 0.0)
+        # out-of-range lanes
+        at = jnp.where(t["in_range"], t["alpha"], 0.0)
         loma = _log_one_minus(at)
         u_strict, u_incl = _tri_matrices(chunk, f.dtype)
         t_incl = t_col[:] * jnp.exp(_mm_cached(loma, u_incl))
@@ -111,21 +111,20 @@ def _mm_cached(a, b):
 )
 def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
                 interpret):
-    toc, tile_info = meta
-    n_splats = feat.shape[1]
-    n_chunks = n_splats // chunk
+    step_tile, win_in, win_out, tile_info = meta
+    g_steps = step_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        num_scalar_prefetch=4,
+        grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda w, toc, info: (0, w),
+                (cc.FEAT_ROWS, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (8, cc.PIXELS_PER_TILE),
-            lambda w, toc, info: (0, toc[w]),
+            lambda s, t, wi, wo, info: (0, t[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -144,7 +143,7 @@ def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
             (8, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
         ),
         interpret=interpret,
-    )(toc, tile_info, feat)
+    )(step_tile, win_in, win_out, tile_info, feat)
 
 
 def render_depth_tiles(

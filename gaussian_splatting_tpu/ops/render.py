@@ -12,10 +12,13 @@ the CUDA kernels, driven by the TPU execution model:
   exclusive cumulative product along the splat axis, evaluated as
   exp(log(1-alpha) @ U_strict) on the MXU, with a (256, 1) carried
   transmittance column across a tile's chunks.
-- The grid is one-dimensional over *chunks of the flat splat list* (see
-  culling.build_splat_layout): every grid step does real work, per-chunk
-  metadata arrives via scalar prefetch, and a tile's chunks are consecutive
-  so its output block stays resident in VMEM.
+- The grid is one-dimensional over (tile, window) pairs of the flat
+  tile-grouped splat list (see culling.build_splat_layout): the splat array
+  is NOT chunk-aligned per tile — each tile walks the 128-aligned windows
+  overlapping its slot range with lane masks (build_step_meta), so the
+  layout needs no alignment spread pass.  Per-step metadata arrives via
+  scalar prefetch, and a tile's steps are consecutive so its output block
+  stays resident in VMEM.
 - The backward pass walks front-to-back (not back-to-front like
   render_backward.cu): per-splat gradients follow from prefix sums of the
   premultiplied colour, so no atomics are needed; per-splat gradients are
@@ -38,45 +41,95 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.structs import TILE_PX
 
-# per-tile info rows (scalar-prefetched (2, n_tiles+1) i32 array);
-# per-chunk metadata is the (n_chunks,) tile_of_chunk array.  Keeping the
-# SMEM footprint to n_chunks + 2*n_tiles scalars (the first draft prefetched
-# 8 rows per chunk and blew the ~1MB SMEM budget at 8M-splat capacity).
-INFO_COUNT, INFO_CHUNK_OFFSET = 0, 1
+# per-tile info rows (scalar-prefetched (2, n_tiles+1) i32 array):
+# row 0 = first slot, row 1 = one-past-last slot of the tile's range in the
+# tile-grouped splat array.  Keeping the SMEM footprint small (the first
+# draft prefetched 8 rows per chunk and blew the ~1MB SMEM budget at
+# 8M-splat capacity).
+INFO_START, INFO_END = 0, 1
 
 
 def default_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def build_chunk_meta(layout, x_tiles: int):
-    """Kernel scalar metadata: (tile_of_chunk (n_chunks,) i32,
-    tile_info (2, n_tiles+1) i32 = [splat count, first chunk id] per tile).
+def num_steps(splat_capacity: int, n_tiles: int, chunk: int) -> int:
+    """Static grid size of the window-walk kernels: every tile needs at
+    most one extra (boundary) window beyond its ceil(count/chunk) share."""
+    return splat_capacity // chunk + n_tiles
+
+
+def build_step_meta(layout, n_tiles: int, chunk: int):
+    """Kernel scalar metadata for the window-walk grid.
+
+    The splat array is tile-grouped but NOT chunk-aligned (the spread pass
+    that aligned it was ~20% of the round-1 step time), so the grid
+    enumerates (tile, window) pairs: tile t is walked over the 128-aligned
+    ``chunk``-wide windows floor(start_t/chunk)..floor((end_t-1)/chunk),
+    lane-masking [start_t, end_t) within each.  A window straddling a tile
+    boundary is visited once per tile with complementary masks.
+
+    Returns (step_tile (G,), step_win_in (G,), step_win_out (G,),
+    tile_info (2, n_tiles+1)) with G = num_steps(...).  Unused trailing
+    steps point at the dummy tile n_tiles and the dummy output window
+    S//chunk (so their writes land in padding blocks).
     """
-    counts = layout.tile_counts  # (n_tiles,)
-    chunk = layout.gaussian_idx.shape[0] // layout.tile_of_chunk.shape[0]
-    tile_chunks = -(-counts // chunk)
-    chunk_offset = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tile_chunks, dtype=jnp.int32)]
+    starts = layout.tile_starts  # (n_tiles+1,)
+    s_cap = layout.gaussian_idx.shape[0]
+    n_win = s_cap // chunk
+    g_steps = num_steps(s_cap, n_tiles, chunk)
+    counts = starts[1:] - starts[:-1]
+    wfirst = starts[:-1] // chunk
+    wlast = jnp.maximum(starts[1:] - 1, 0) // chunk
+    nsteps = jnp.where(counts > 0, wlast - wfirst + 1, 0)
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nsteps, dtype=jnp.int32)]
     )
-    counts_pad = jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)])
-    tile_info = jnp.stack([counts_pad, chunk_offset])
-    return layout.tile_of_chunk, tile_info
+    used = off[n_tiles]
+    sids = jnp.arange(g_steps, dtype=jnp.int32)
+    # step -> tile: scatter each stepped tile's id at its first step, cummax
+    marker = jnp.zeros((g_steps + 1,), jnp.int32).at[off[:n_tiles]].max(
+        jnp.arange(n_tiles, dtype=jnp.int32) * (nsteps > 0), mode="drop"
+    )
+    step_tile = jax.lax.cummax(marker[:g_steps])
+    step_tile = jnp.where(sids < used, step_tile, n_tiles)
+    st_safe = jnp.minimum(step_tile, n_tiles - 1)
+    win = wfirst[st_safe] + (sids - off[st_safe])
+    step_win_in = jnp.where(sids < used, win, 0)
+    step_win_out = jnp.where(sids < used, win, n_win)
+    zero = jnp.zeros((1,), jnp.int32)
+    tile_info = jnp.stack(
+        [
+            jnp.concatenate([starts[:-1], zero]),
+            jnp.concatenate([starts[1:], zero]),
+        ]
+    )
+    return step_tile, step_win_in, step_win_out, tile_info
 
 
-def _chunk_scalars(toc_ref, info_ref, w, chunk, x_tiles):
-    """Derive per-chunk scalars from the compact SMEM metadata."""
-    n_chunks = toc_ref.shape[0]
-    tile = toc_ref[w]
-    prev_tile = toc_ref[jnp.maximum(w - 1, 0)]
-    next_tile = toc_ref[jnp.minimum(w + 1, n_chunks - 1)]
-    first = jnp.logical_or(w == 0, prev_tile != tile)
-    last = jnp.logical_or(w == n_chunks - 1, next_tile != tile)
-    cit = w - info_ref[INFO_CHUNK_OFFSET, tile]
-    nvalid = jnp.clip(info_ref[INFO_COUNT, tile] - cit * chunk, 0, chunk)
+def _step_scalars(tile_ref, win_ref, info_ref, s, chunk, x_tiles):
+    """Derive one grid step's scalars from the compact SMEM metadata.
+
+    Returns (tile, first, last, new_window, lo, hi, tx, ty): first/last
+    flag the tile's first/last step (carry init / output flush),
+    new_window flags the first step touching this input window (backward
+    read-modify-write), [lo, hi) is the tile's lane range in the window.
+    """
+    g_steps = tile_ref.shape[0]
+    tile = tile_ref[s]
+    prev_tile = tile_ref[jnp.maximum(s - 1, 0)]
+    next_tile = tile_ref[jnp.minimum(s + 1, g_steps - 1)]
+    first = jnp.logical_or(s == 0, prev_tile != tile)
+    last = jnp.logical_or(s == g_steps - 1, next_tile != tile)
+    w = win_ref[s]
+    prev_w = win_ref[jnp.maximum(s - 1, 0)]
+    new_window = jnp.logical_or(s == 0, prev_w != w)
+    base = w * chunk
+    lo = jnp.clip(info_ref[INFO_START, tile] - base, 0, chunk)
+    hi = jnp.clip(info_ref[INFO_END, tile] - base, 0, chunk)
     tx = jax.lax.rem(tile, jnp.int32(x_tiles))
     ty = jax.lax.div(tile, jnp.int32(x_tiles))
-    return tile, first, last, nvalid, tx, ty
+    return tile, first, last, new_window, lo, hi, tx, ty
 
 
 def splat_features(uv, opacity, conic, rgb):
@@ -123,8 +176,9 @@ def _pixel_coords(tx, ty, dtype):
     return u, v
 
 
-def _alpha_terms(f, upix, vpix, nvalid):
-    """Per splat-pixel alpha math shared by fwd/bwd.  f: (FEAT_ROWS, CHUNK)."""
+def _alpha_terms(f, upix, vpix, lo, hi):
+    """Per splat-pixel alpha math shared by fwd/bwd.  f: (FEAT_ROWS, CHUNK);
+    only lanes in [lo, hi) belong to the current tile."""
     chunk = f.shape[1]
     u = f[cc.FEAT_U : cc.FEAT_U + 1, :]
     v = f[cc.FEAT_V : cc.FEAT_V + 1, :]
@@ -142,11 +196,11 @@ def _alpha_terms(f, upix, vpix, nvalid):
     alpha = op * prob
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    in_count = lane < nvalid
-    at = jnp.where((alpha >= cc.ALPHA_SKIP) & in_count, alpha, 0.0)
+    in_range = (lane >= lo) & (lane < hi)
+    at = jnp.where((alpha >= cc.ALPHA_SKIP) & in_range, alpha, 0.0)
     return dict(
         du=du, dv=dv, det=det, rdet=rdet, mh=mh, prob=prob, alpha=alpha,
-        at=at, op=op, a=a, b=b, c=c,
+        at=at, op=op, a=a, b=b, c=c, in_range=in_range,
     )
 
 
@@ -191,11 +245,11 @@ def _log_one_minus(at):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(chunk, x_tiles, toc_ref, info_ref, feat_ref, out_ref,
-                t_col, acc):
-    w = pl.program_id(0)
-    _, first, last, nvalid, tx, ty = _chunk_scalars(
-        toc_ref, info_ref, w, chunk, x_tiles
+def _fwd_kernel(chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
+                feat_ref, out_ref, t_col, acc):
+    s = pl.program_id(0)
+    _, first, last, _, lo, hi, tx, ty = _step_scalars(
+        tile_ref, win_ref, info_ref, s, chunk, x_tiles
     )
 
     @pl.when(first)
@@ -203,12 +257,12 @@ def _fwd_kernel(chunk, x_tiles, toc_ref, info_ref, feat_ref, out_ref,
         t_col[:] = jnp.ones_like(t_col)
         acc[:] = jnp.zeros_like(acc)
 
-    @pl.when(nvalid > 0)
+    @pl.when(hi > lo)
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
         upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, nvalid)
+        t = _alpha_terms(f, upix, vpix, lo, hi)
         at = t["at"]
         loma = _log_one_minus(at)
         u_strict, _ = _tri_matrices(chunk, f.dtype)
@@ -231,21 +285,21 @@ def _fwd_kernel(chunk, x_tiles, toc_ref, info_ref, feat_ref, out_ref,
     jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
 )
 def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
-    toc, tile_info = meta
+    step_tile, win_in, win_out, tile_info = meta
     n_splats = feat.shape[1]
-    n_chunks = n_splats // chunk
+    g_steps = step_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        num_scalar_prefetch=4,
+        grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda w, toc, info: (0, w),
+                (cc.FEAT_ROWS, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-            lambda w, toc, info: (0, toc[w]),
+            lambda s, t, wi, wo, info: (0, t[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -265,7 +319,7 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
             bytes_accessed=4 * n_splats * cc.FEAT_ROWS,
             transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
         ),
-    )(toc, tile_info, feat)
+    )(step_tile, win_in, win_out, tile_info, feat)
 
 
 # ---------------------------------------------------------------------------
@@ -273,11 +327,11 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(chunk_len, x_tiles, toc_ref, info_ref, feat_ref, gi_ref,
-                gout_ref, t_col, pg_col, e_col):
-    w = pl.program_id(0)
-    _, first, _, nvalid, tx, ty = _chunk_scalars(
-        toc_ref, info_ref, w, chunk_len, x_tiles
+def _bwd_kernel(chunk_len, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
+                feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
+    s = pl.program_id(0)
+    _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
+        tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
     )
 
     @pl.when(first)
@@ -289,7 +343,7 @@ def _bwd_kernel(chunk_len, x_tiles, toc_ref, info_ref, feat_ref, gi_ref,
     f = feat_ref[:]
     chunk = f.shape[1]
     upix, vpix = _pixel_coords(tx, ty, f.dtype)
-    t = _alpha_terms(f, upix, vpix, nvalid)
+    t = _alpha_terms(f, upix, vpix, lo, hi)
     at, prob, op = t["at"], t["prob"], t["op"]
     du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
     a, b, c = t["a"], t["b"], t["c"]
@@ -326,19 +380,30 @@ def _bwd_kernel(chunk_len, x_tiles, toc_ref, info_ref, feat_ref, gi_ref,
     def rowsum(x):
         return jnp.sum(x, axis=0, keepdims=True)
 
-    gout_ref[cc.GRAD_U : cc.GRAD_U + 1, :] = rowsum(gu_pp)
-    gout_ref[cc.GRAD_V : cc.GRAD_V + 1, :] = rowsum(gv_pp)
-    gout_ref[cc.GRAD_OPACITY : cc.GRAD_OPACITY + 1, :] = rowsum(gop_pp)
-    gout_ref[cc.GRAD_A : cc.GRAD_A + 1, :] = rowsum(ga_pp)
-    gout_ref[cc.GRAD_B : cc.GRAD_B + 1, :] = rowsum(gb_pp)
-    gout_ref[cc.GRAD_C : cc.GRAD_C + 1, :] = rowsum(gc_pp)
     # grad rgb: the reference uses the clamped alpha here
     # (render_backward.cu:193-196)
     w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
-    gout_ref[cc.GRAD_R : cc.GRAD_B_COL + 1, :] = _mm(g, w_cl, (((1,), (0,))))
-    gout_ref[cc.GRAD_B_COL + 1 :, :] = jnp.zeros_like(
-        gout_ref[cc.GRAD_B_COL + 1 :, :]
+    gblock = jnp.concatenate(
+        [
+            rowsum(gu_pp),
+            rowsum(gv_pp),
+            rowsum(gop_pp),
+            rowsum(ga_pp),
+            rowsum(gb_pp),
+            rowsum(gc_pp),
+            _mm(g, w_cl, (((1,), (0,)))),
+            jnp.zeros(
+                (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
+            ),
+        ],
+        axis=0,
     )
+    # a boundary window is visited by two consecutive steps (one per tile)
+    # with complementary lane ranges: the first visit zero-fills the other
+    # lanes, the second merges with the resident block (consecutive steps
+    # share the same output block, so it is still in VMEM)
+    prev = jnp.where(new_window, 0.0, gout_ref[:])
+    gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
 
     # carries
     t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
@@ -349,25 +414,25 @@ def _bwd_kernel(chunk_len, x_tiles, toc_ref, info_ref, feat_ref, gi_ref,
     jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
 )
 def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
-    toc, tile_info = meta
+    step_tile, win_in, win_out, tile_info = meta
     n_splats = feat.shape[1]
-    n_chunks = n_splats // chunk
+    g_steps = step_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        num_scalar_prefetch=4,
+        grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda w, toc, info: (0, w),
+                (cc.FEAT_ROWS, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-                lambda w, toc, info: (0, toc[w]),
+                lambda s, t, wi, wo, info: (0, t[s]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (cc.GRAD_ROWS, chunk), lambda w, toc, info: (0, w),
+            (cc.GRAD_ROWS, chunk), lambda s, t, wi, wo, info: (0, wo[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -376,11 +441,11 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk, x_tiles),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (cc.GRAD_ROWS, n_splats), jnp.float32
+            (cc.GRAD_ROWS, n_splats + chunk), jnp.float32
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -388,7 +453,8 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
             bytes_accessed=8 * n_splats * cc.FEAT_ROWS,
             transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
         ),
-    )(toc, tile_info, feat, gi)
+    )(step_tile, win_in, win_out, tile_info, feat, gi)
+    return out[:, :n_splats]
 
 
 # ---------------------------------------------------------------------------
@@ -472,8 +538,8 @@ def render_tiles(
     """Rasterize packed splat features into per-tile pixels.
 
     feat: (FEAT_ROWS, S) splat-ordered features (see `splat_features`,
-          gathered through the layout's gaussian_idx).
-    meta: (8, S/chunk) i32 chunk metadata (see `build_chunk_meta`).
+          expanded per splat by the layout sort).
+    meta: the step metadata tuple from `build_step_meta`.
     Returns (image incl. background (n_tiles, 256, 3),
              final transmittance (n_tiles, 256)).
 

@@ -34,12 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.render import (
     _alpha_terms,
-    _chunk_scalars,
     _col_to_row,
     _log_one_minus,
     _mm,
     _pixel_coords,
     _row_to_col,
+    _step_scalars,
     _tri_matrices,
     default_interpret,
 )
@@ -80,11 +80,11 @@ def _sh_color_rows(n_sh):
     return SH_BASE_ROWS, SH_BASE_ROWS + 3 * n_sh
 
 
-def _fwd_kernel(n_sh, chunk, x_tiles, toc_ref, info_ref, feat_ref, basis_ref,
-                out_ref, t_col, acc):
-    w = pl.program_id(0)
-    _, first, last, nvalid, tx, ty = _chunk_scalars(
-        toc_ref, info_ref, w, chunk, x_tiles
+def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
+                feat_ref, basis_ref, out_ref, t_col, acc):
+    s = pl.program_id(0)
+    _, first, last, _, lo, hi, tx, ty = _step_scalars(
+        tile_ref, win_ref, info_ref, s, chunk, x_tiles
     )
 
     @pl.when(first)
@@ -92,20 +92,20 @@ def _fwd_kernel(n_sh, chunk, x_tiles, toc_ref, info_ref, feat_ref, basis_ref,
         t_col[:] = jnp.ones_like(t_col)
         acc[:] = jnp.zeros_like(acc)
 
-    @pl.when(nvalid > 0)
+    @pl.when(hi > lo)
     def _():
         f = feat_ref[:]
         chunk_len = f.shape[1]
         upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, nvalid)
+        t = _alpha_terms(f, upix, vpix, lo, hi)
         at = t["at"]
         loma = _log_one_minus(at)
         u_strict, _ = _tri_matrices(chunk_len, f.dtype)
         tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
         active = tpref >= cc.T_EPS
         wgt = jnp.where(active, at * tpref, 0.0)  # (256, CHUNK)
-        lo, hi = _sh_color_rows(n_sh)
-        coeff = f[lo:hi, :]  # (3*n_sh, CHUNK)
+        clo_, chi_ = _sh_color_rows(n_sh)
+        coeff = f[clo_:chi_, :]  # (3*n_sh, CHUNK)
         m = _mm(coeff, wgt, (((1,), (1,))))  # (3*n_sh, 256)
         basis = basis_ref[0:n_sh, :]  # (n_sh, 256)
         for c in range(3):
@@ -127,28 +127,27 @@ def _fwd_kernel(n_sh, chunk, x_tiles, toc_ref, info_ref, feat_ref, basis_ref,
 )
 def _render_fwd(feat, basis, meta, *, n_sh, n_tiles, x_tiles, chunk,
                 interpret):
-    toc, tile_info = meta
-    n_splats = feat.shape[1]
-    n_chunks = n_splats // chunk
+    step_tile, win_in, win_out, tile_info = meta
+    g_steps = step_tile.shape[0]
     feat_rows = feat.shape[0]
     basis_rows = basis.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        num_scalar_prefetch=4,
+        grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (feat_rows, chunk), lambda w, toc, info: (0, w),
+                (feat_rows, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (basis_rows, cc.PIXELS_PER_TILE),
-                lambda w, toc, info: (0, toc[w]),
+                lambda s, t, wi, wo, info: (0, t[s]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-            lambda w, toc, info: (0, toc[w]),
+            lambda s, t, wi, wo, info: (0, t[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -163,14 +162,15 @@ def _render_fwd(feat, basis, meta, *, n_sh, n_tiles, x_tiles, chunk,
             (cc.OUT_ROWS, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
         ),
         interpret=interpret,
-    )(toc, tile_info, feat, basis)
+    )(step_tile, win_in, win_out, tile_info, feat, basis)
 
 
-def _bwd_kernel(n_sh, chunk_len, x_tiles, toc_ref, info_ref, feat_ref,
-                basis_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
-    w = pl.program_id(0)
-    _, first, _, nvalid, tx, ty = _chunk_scalars(
-        toc_ref, info_ref, w, chunk_len, x_tiles
+def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
+                info_ref, feat_ref, basis_ref, gi_ref, gout_ref, t_col,
+                pg_col, e_col):
+    s = pl.program_id(0)
+    _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
+        tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
     )
 
     @pl.when(first)
@@ -182,7 +182,7 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, toc_ref, info_ref, feat_ref,
     f = feat_ref[:]
     chunk = f.shape[1]
     upix, vpix = _pixel_coords(tx, ty, f.dtype)
-    t = _alpha_terms(f, upix, vpix, nvalid)
+    t = _alpha_terms(f, upix, vpix, lo, hi)
     at, prob, op = t["at"], t["prob"], t["op"]
     du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
     a, b, c = t["a"], t["b"], t["c"]
@@ -199,8 +199,8 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, toc_ref, info_ref, feat_ref,
     gb = jnp.concatenate(
         [g[ch : ch + 1, :] * basis for ch in range(3)], axis=0
     )  # (3*n_sh, 256)
-    lo, hi = _sh_color_rows(n_sh)
-    coeff = f[lo:hi, :]  # (3*n_sh, CHUNK)
+    clo_, chi_ = _sh_color_rows(n_sh)
+    coeff = f[clo_:chi_, :]  # (3*n_sh, CHUNK)
     # A[p, s] = sum_ck gb[ck, p] * coeff[ck, s]
     A = _mm(gb, coeff, (((0,), (0,))))  # (256, CHUNK)
     cw = A * wgt
@@ -223,16 +223,26 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, toc_ref, info_ref, feat_ref,
     def rowsum(x):
         return jnp.sum(x, axis=0, keepdims=True)
 
-    gout_ref[0:1, :] = rowsum(gu_pp)
-    gout_ref[1:2, :] = rowsum(gv_pp)
-    gout_ref[2:3, :] = rowsum(gop_pp)
-    gout_ref[3:4, :] = rowsum(ga_pp)
-    gout_ref[4:5, :] = rowsum(gb_pp)
-    gout_ref[5:6, :] = rowsum(gc_pp)
     # grad wrt SH coefficients (clamped alpha, like the DC rgb grad)
     w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
-    gout_ref[lo:hi, :] = _mm(gb, w_cl, (((1,), (0,))))
-    gout_ref[hi:, :] = jnp.zeros_like(gout_ref[hi:, :])
+    clo, chi = _sh_color_rows(n_sh)
+    feat_rows = gout_ref.shape[0]
+    gblock = jnp.concatenate(
+        [
+            rowsum(gu_pp),
+            rowsum(gv_pp),
+            rowsum(gop_pp),
+            rowsum(ga_pp),
+            rowsum(gb_pp),
+            rowsum(gc_pp),
+            _mm(gb, w_cl, (((1,), (0,)))),
+            jnp.zeros((feat_rows - chi, chunk), jnp.float32),
+        ],
+        axis=0,
+    )
+    # boundary windows merge with the resident block (see ops/render.py)
+    prev = jnp.where(new_window, 0.0, gout_ref[:])
+    gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
 
     t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
     pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
@@ -244,32 +254,32 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, toc_ref, info_ref, feat_ref,
 )
 def _render_bwd(feat, basis, meta, gi, *, n_sh, n_tiles, x_tiles, chunk,
                 interpret):
-    toc, tile_info = meta
+    step_tile, win_in, win_out, tile_info = meta
     n_splats = feat.shape[1]
-    n_chunks = n_splats // chunk
+    g_steps = step_tile.shape[0]
     feat_rows = feat.shape[0]
     basis_rows = basis.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        num_scalar_prefetch=4,
+        grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (feat_rows, chunk), lambda w, toc, info: (0, w),
+                (feat_rows, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (basis_rows, cc.PIXELS_PER_TILE),
-                lambda w, toc, info: (0, toc[w]),
+                lambda s, t, wi, wo, info: (0, t[s]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-                lambda w, toc, info: (0, toc[w]),
+                lambda s, t, wi, wo, info: (0, t[s]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (feat_rows, chunk), lambda w, toc, info: (0, w),
+            (feat_rows, chunk), lambda s, t, wi, wo, info: (0, wo[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -278,14 +288,15 @@ def _render_bwd(feat, basis, meta, gi, *, n_sh, n_tiles, x_tiles, chunk,
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, n_sh, chunk, x_tiles),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (feat_rows, n_splats), jnp.float32
+            (feat_rows, n_splats + chunk), jnp.float32
         ),
         interpret=interpret,
-    )(toc, tile_info, feat, basis, gi)
+    )(step_tile, win_in, win_out, tile_info, feat, basis, gi)
+    return out[:, :n_splats]
 
 
 # ---------------------------------------------------------------------------

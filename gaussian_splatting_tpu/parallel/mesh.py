@@ -50,9 +50,13 @@ def _local_loss(params, alive, uv_offset, gt, K, pose, bg, *, config,
         chunk=config.chunk,
         uv_offset=uv_offset,
         interpret=interpret,
+        visible_capacity=config.visible_capacity,
     )
     loss, psnr = train_loss(res.image, gt, config.ssim_frac)
-    return loss, (psnr, res.visible, res.num_splats, res.overflow)
+    return loss, (
+        psnr, res.visible, res.num_splats, res.num_visible,
+        res.overflow, res.truncated,
+    )
 
 
 @functools.partial(
@@ -105,20 +109,29 @@ def dp_train_step(
         (loss, aux), (gparams, g_uv) = grad_fn(
             state.params, state.alive, uv_zero, gt[0], K[0], pose[0], bg[0]
         )
-        psnr, visible, num_splats, overflow = aux
+        psnr, visible, num_splats, num_visible, overflow, truncated = aux
         # mean-reduce over the data axis (ICI collective)
         gparams = jax.lax.pmean(gparams, "data")
         loss = jax.lax.pmean(loss, "data")
         psnr = jax.lax.pmean(psnr, "data")
         num_splats = jax.lax.pmax(num_splats, "data")
+        num_visible = jax.lax.pmax(num_visible, "data")
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data") > 0
+        truncated = jax.lax.pmax(truncated.astype(jnp.int32), "data") > 0
 
         opt = optim.make_optimizer(config)
         updates, opt_state = opt.update(
             gparams, state.opt_state, state.params
         )
+        # skip the whole step when any device's layout overflowed its
+        # capacity (same semantics as trainer.train_step)
+        ok = ~overflow
         params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
+            lambda p, u: jnp.where(ok, p + u, p), state.params, updates
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old),
+            opt_state, state.opt_state,
         )
 
         # densify stats: per-device accumulation summed over cameras,
@@ -130,15 +143,19 @@ def dp_train_step(
         xyz_grad = jnp.abs(gparams["xyz"])
         seen = jax.lax.psum(visible.astype(jnp.int32), "data")
 
+        okf = ok.astype(jnp.float32)
         new_state = state._replace(
             params=params,
             opt_state=opt_state,
-            uv_grad_accum=state.uv_grad_accum + uv_grad,
-            xyz_grad_accum=state.xyz_grad_accum + xyz_grad,
-            grad_accum_count=state.grad_accum_count + seen,
+            uv_grad_accum=state.uv_grad_accum + uv_grad * okf,
+            xyz_grad_accum=state.xyz_grad_accum + xyz_grad * okf,
+            grad_accum_count=state.grad_accum_count
+            + seen * ok.astype(jnp.int32),
         )
         info = dict(
-            loss=loss, psnr=psnr, num_splats=num_splats, overflow=overflow
+            loss=loss, psnr=psnr, num_splats=num_splats,
+            num_visible=num_visible, overflow=overflow, truncated=truncated,
+            n_alive=jnp.sum(state.alive.astype(jnp.int32)),
         )
         return new_state, info
 

@@ -24,7 +24,7 @@ from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.depth import depth_features, render_depth_tiles
 from gaussian_splatting_tpu.ops import render_sh as rsh
 from gaussian_splatting_tpu.ops.render import (
-    build_chunk_meta,
+    build_step_meta,
     pad_feature_rows,
     render_tiles,
     splat_features,
@@ -39,7 +39,9 @@ class RenderResult(NamedTuple):
     uv: jax.Array  # (N, 2) projected centres (all gaussians)
     transmittance: jax.Array  # (n_tiles, 256)
     num_splats: jax.Array  # () i32
-    overflow: jax.Array  # () bool
+    num_visible: jax.Array  # () i32 contributing gaussians this frame
+    overflow: jax.Array  # () bool — capacity-fixable work drop (grow bucket)
+    truncated: jax.Array  # () bool — oversized-window tail cells cut
 
 
 def _active_sh_coeffs(n_sh_band: int) -> int:
@@ -63,6 +65,7 @@ def rasterize(
     chunk: int = 256,
     uv_offset: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
+    visible_capacity: int = 0,
 ) -> RenderResult:
     """Render the scene from one camera.
 
@@ -118,9 +121,9 @@ def rasterize(
 
     layout, feat = layout_with_features(
         uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
-        splat_capacity, chunk,
+        splat_capacity, chunk, visible_capacity,
     )
-    meta = build_chunk_meta(layout, grid.x_tiles)
+    meta = build_step_meta(layout, grid.tile_count, chunk)
     feat = pad_feature_rows(feat, feat_rows)
 
     if per_pixel_sh:
@@ -145,7 +148,9 @@ def rasterize(
         uv=uv,
         transmittance=T,
         num_splats=layout.num_splats,
+        num_visible=layout.num_visible,
         overflow=layout.overflow,
+        truncated=layout.truncated,
     )
 
 
@@ -162,6 +167,7 @@ def render_depth(
     splat_capacity: int,
     chunk: int = 256,
     interpret: Optional[bool] = None,
+    visible_capacity: int = 0,
 ) -> jax.Array:
     """Depth image (H, W, 1); -1 where no splat crosses alpha_threshold.
 
@@ -184,9 +190,9 @@ def render_depth(
     feat_g = depth_features(uv, opacity, conic, xyz_cam)
     layout, feat = layout_with_features(
         uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
-        splat_capacity, chunk,
+        splat_capacity, chunk, visible_capacity,
     )
-    meta = build_chunk_meta(layout, grid.x_tiles)
+    meta = build_step_meta(layout, grid.tile_count, chunk)
     feat = pad_feature_rows(feat)
 
     depth_tiles = render_depth_tiles(

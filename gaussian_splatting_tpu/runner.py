@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +66,15 @@ class TrainingRunner:
 
         self._gt_cache = {}
         self._splat_watermark: list = []
+        self._visible_watermark: list = []
         self._overflowed = False
+        self._truncated_seen = False
+        # de-synced metrics: per-step info dicts stay on device and are
+        # fetched with a lag so the host never blocks the step pipeline
+        # (the reference syncs 3x per iteration; see VERDICT round 1 item 8)
+        self._pending: list = []
+        self._drain_lag = 16
+        self._last_info = (0, {})
 
         # data parallelism: D cameras per step over a D-device mesh
         # (config.data_parallel=1 keeps the reference's one-camera step)
@@ -146,8 +155,11 @@ class TrainingRunner:
         Sort/kernel cost scales with the static capacity, not the live splat
         count, so the runner keeps capacity in the smallest power-of-two
         bucket holding ~1.6x the recent maximum (jit recompiles on a bucket
-        change, amortised over thousands of steps).  Overflow grows the
-        bucket immediately.
+        change, amortised over thousands of steps).  Capacity-fixable
+        overflow (SplatLayout.overflow) grows the bucket immediately, up to
+        config.max_splat_capacity; window truncation (SplatLayout.truncated,
+        a near-fullscreen gaussian) is NOT capacity-fixable and never grows
+        the bucket.
         """
         if not self._splat_watermark:
             return cfg
@@ -155,12 +167,53 @@ class TrainingRunner:
         bucket = 1 << max(20, int(np.ceil(np.log2(want))))
         if self._overflowed:
             bucket = max(bucket, cfg.splat_capacity * 2)
-            self._overflowed = False
+        bucket = min(bucket, cfg.max_splat_capacity)
         if bucket != cfg.splat_capacity:
             print(f"  splat capacity {cfg.splat_capacity} -> {bucket}")
             cfg = cfg.replace(splat_capacity=bucket)
+
+        # visible-compaction bucket from the observed contributing count
+        gauss_cap = int(self.state.alive.shape[0])
+        cur_vcap = cfg.visible_capacity or gauss_cap
+        vwant = int(max(self._visible_watermark) * 1.5) + 1
+        vbucket = 1 << max(16, int(np.ceil(np.log2(vwant))))
+        if self._overflowed and max(self._visible_watermark) >= cur_vcap:
+            vbucket = max(vbucket, cur_vcap * 2)
+        vbucket = min(vbucket, gauss_cap)
+        if vbucket != cur_vcap:
+            print(f"  visible capacity {cur_vcap} -> {vbucket}")
+            cfg = cfg.replace(
+                visible_capacity=0 if vbucket >= gauss_cap else vbucket
+            )
+        self._overflowed = False
         self._splat_watermark.clear()
+        self._visible_watermark.clear()
         return cfg
+
+    # -- de-synced metrics ----------------------------------------------------
+
+    def _process_info(self, i: int, info: dict):
+        """Record one fetched per-step info dict into host-side metrics."""
+        self.metrics.train_psnr.append(float(info["psnr"]))
+        self.metrics.num_gaussians.append(int(info["n_alive"]))
+        self._splat_watermark.append(int(info["num_splats"]))
+        self._visible_watermark.append(int(info.get("num_visible", 0)))
+        self._overflowed |= bool(info["overflow"])
+        if bool(info.get("truncated", False)) and not self._truncated_seen:
+            self._truncated_seen = True
+            print(
+                f"  note: iter {i} truncated an oversized gaussian's window "
+                f"(> {4096} tiles); not capacity-fixable"
+            )
+        self._last_info = (i, info)
+
+    def _drain(self, upto: Optional[int] = None):
+        """Fetch pending infos (all, or down to `upto` outstanding)."""
+        while self._pending and (
+            upto is None or len(self._pending) > upto
+        ):
+            i, info = self._pending.pop(0)
+            self._process_info(i, jax.device_get(info))
 
     # -- main loop -----------------------------------------------------------
 
@@ -235,17 +288,31 @@ class TrainingRunner:
         )
         Image.fromarray(arr).save(os.path.join(self.config.output_dir, name))
 
+    def _save_debug_image(self, i: int):
+        """Render + save the first train view (trainer.py:448-453)."""
+        idx = int(self.train_split[0])
+        im = self.data.images[idx]
+        cam = self.data.cameras[im.camera_id]
+        img, _, _ = T.eval_step(
+            self.state, jnp.asarray(self.gt_image(idx)),
+            jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
+            config=self.config, camera_hw=(cam.height, cam.width),
+            n_sh_band=T.sh_band_for_iteration(self.config, i),
+        )
+        self._save_image(np.asarray(img), f"debug_iter{i}.png")
+
     def train(self):
         cfg = self.config
-        last_img = None
         for i in range(self.start_iter, cfg.num_iters):
             if i % cfg.test_eval_interval == 0:
+                self._drain()
                 psnr, ssim = self.evaluate(iteration=i)
                 self.metrics.test_psnr.append(psnr)
                 print(f"\tTEST SPLIT PSNR: {psnr:.3f}, SSIM: {ssim:.4f}")
 
             band = T.sh_band_for_iteration(cfg, i)
             if self._overflowed or (i % 500 == 499):
+                self._drain()
                 cfg = self.config = self._rebucket_splat_capacity(cfg)
             if self.mesh is not None:
                 info = self._dp_step(i, band, cfg)
@@ -266,19 +333,17 @@ class TrainingRunner:
                         cfg.use_background and i < cfg.use_background_end
                     ),
                 )
-            self.metrics.train_psnr.append(float(info["psnr"]))
-            self.metrics.num_gaussians.append(
-                int(jnp.sum(self.state.alive.astype(jnp.int32)))
-            )
-            self._splat_watermark.append(int(info["num_splats"]))
-            self._overflowed |= bool(info["overflow"])
+            # keep ~drain_lag steps in flight; only fetch completed infos
+            self._pending.append((i, info))
+            self._drain(upto=self._drain_lag)
 
-            if i % cfg.print_interval == 0:
+            if i % cfg.print_interval == 0 and self.metrics.train_psnr:
+                li, linfo = self._last_info
                 print(
-                    f"Iter: {i}, PSNR: {float(info['psnr']):.3f}, "
-                    f"N: {self.metrics.num_gaussians[-1]}, "
-                    f"splats: {int(info['num_splats'])}"
-                    + (" OVERFLOW" if bool(info["overflow"]) else "")
+                    f"Iter: {li}, PSNR: {float(linfo['psnr']):.3f}, "
+                    f"N: {int(linfo['n_alive'])}, "
+                    f"splats: {int(linfo['num_splats'])}"
+                    + (" OVERFLOW" if bool(linfo["overflow"]) else "")
                 )
 
             if (
@@ -310,9 +375,10 @@ class TrainingRunner:
 
             if (
                 cfg.save_debug_image_interval > 0
+                and i > 0
                 and i % cfg.save_debug_image_interval == 0
             ):
-                pass  # debug renders happen at eval time (saves a render)
+                self._save_debug_image(i)
 
             if i > 0 and i % cfg.checkpoint_interval == 0:
                 ckpt.save_checkpoint(
@@ -320,6 +386,7 @@ class TrainingRunner:
                     self.state, i, self.key,
                 )
 
+        self._drain()
         psnr, ssim = self.evaluate(
             save_images=True, iteration=cfg.num_iters
         )
@@ -329,3 +396,6 @@ class TrainingRunner:
             os.path.join(cfg.output_dir, "ckpt_final.npz"),
             self.state, cfg.num_iters, self.key,
         )
+        from gaussian_splatting_tpu.plot import terminal_plot
+
+        print(terminal_plot(self.metrics))

@@ -101,34 +101,50 @@ def train_step(
             chunk=config.chunk,
             uv_offset=uv_offset,
             interpret=interpret,
+            visible_capacity=config.visible_capacity,
         )
         loss, psnr = train_loss(res.image, gt_image, config.ssim_frac)
-        return loss, (psnr, res.visible, res.num_splats, res.overflow)
+        return loss, (
+            psnr, res.visible, res.num_splats, res.num_visible,
+            res.overflow, res.truncated,
+        )
 
     (loss, aux), (gparams, g_uv) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(state.params, uv_zero)
-    psnr, visible, num_splats, overflow = aux
+    psnr, visible, num_splats, num_visible, overflow, truncated = aux
 
     opt = optim.make_optimizer(config)
     updates, opt_state = opt.update(gparams, state.opt_state, state.params)
+    # a capacity-overflowing layout renders tail tiles empty and produces
+    # wrong gradients for this frame: skip the whole optimisation step (the
+    # runner grows the splat bucket before the next one).  The reference
+    # instead hard-caps tiles per gaussian (splat_py/tile_culling.py:20).
+    ok = ~overflow
     params = jax.tree_util.tree_map(
-        lambda p, u: p + u, state.params, updates
+        lambda p, u: jnp.where(ok, p + u, p), state.params, updates
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state
     )
 
     # densification statistics (trainer.py:377-385): uv grads scaled to
     # world-consistent units by fx/fy, abs-accumulated over visible views
     fxfy = jnp.stack([camera_K[0, 0], camera_K[1, 1]])
     uv_grad = jnp.abs(g_uv * fxfy[None, :]) * visible[:, None]
+    okf = ok.astype(jnp.float32)
     state = state._replace(
         params=params,
         opt_state=opt_state,
-        uv_grad_accum=state.uv_grad_accum + uv_grad,
-        xyz_grad_accum=state.xyz_grad_accum + jnp.abs(gparams["xyz"]),
-        grad_accum_count=state.grad_accum_count + visible.astype(jnp.int32),
+        uv_grad_accum=state.uv_grad_accum + uv_grad * okf,
+        xyz_grad_accum=state.xyz_grad_accum + jnp.abs(gparams["xyz"]) * okf,
+        grad_accum_count=state.grad_accum_count
+        + visible.astype(jnp.int32) * ok.astype(jnp.int32),
     )
     return state, dict(
-        loss=loss, psnr=psnr, num_splats=num_splats, overflow=overflow
+        loss=loss, psnr=psnr, num_splats=num_splats,
+        num_visible=num_visible, overflow=overflow, truncated=truncated,
+        n_alive=jnp.sum(state.alive.astype(jnp.int32)),
     )
 
 
@@ -167,6 +183,7 @@ def eval_step(
         splat_capacity=config.splat_capacity,
         chunk=config.chunk,
         interpret=interpret,
+        visible_capacity=config.visible_capacity,
     )
     psnr, ssim_val = eval_psnr_ssim(res.image, gt_image)
     return res.image, psnr, ssim_val

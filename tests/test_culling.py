@@ -86,32 +86,60 @@ def test_exact_sorted_splat_list(pipeline_outputs):
     assert starts[-1] == len(EXPECTED_CULLED_IDX)
 
 
-def test_layout_chunk_metadata_consistency(pipeline_outputs):
+def test_layout_step_metadata_consistency(pipeline_outputs):
+    """The window-walk step metadata must tile the splat array exactly:
+    each tile's steps cover its [start, end) slot range with disjoint lane
+    masks, in order, and every live slot is covered exactly once."""
+    from gaussian_splatting_tpu.ops.render import build_step_meta
+
     uv, conic, xyz_cam, visible, grid = pipeline_outputs
     chunk = 256
+    s_cap = 1 << 18
     layout = build_splat_layout(
         uv, conic, xyz_cam[:, 2], visible, grid,
-        mh_dist=3.0, splat_capacity=1 << 18, chunk=chunk,
+        mh_dist=3.0, splat_capacity=s_cap, chunk=chunk,
     )
-    counts = np.asarray(layout.tile_counts)
-    toc = np.asarray(layout.tile_of_chunk)
-    vic = np.asarray(layout.valid_in_chunk)
-    cit = np.asarray(layout.chunk_in_tile)
-    gid = np.asarray(layout.gaussian_idx)
     n_tiles = grid.tile_count
+    starts = np.asarray(layout.tile_starts)
+    counts = np.asarray(layout.tile_counts)
+    gid = np.asarray(layout.gaussian_idx)
+    assert starts.shape == (n_tiles + 1,)
+    assert np.array_equal(counts, np.diff(starts))
+    assert starts[0] == 0 and starts[-1] == int(layout.num_splats)
+    # valid slots hold real gaussian ids, padding holds the sentinel
+    assert np.all(gid[: starts[-1]] < 6)
+    assert np.all(gid[starts[-1] :] == 6)
 
-    # each tile with count>0 owns ceil(count/chunk) chunks, consecutive
-    used = toc < n_tiles
+    step_tile, win_in, win_out, tile_info = [
+        np.asarray(x) for x in build_step_meta(layout, n_tiles, chunk)
+    ]
+    assert step_tile.shape == (s_cap // chunk + n_tiles,)
+    covered = np.zeros(s_cap, bool)
+    for s in range(step_tile.shape[0]):
+        t = step_tile[s]
+        if t == n_tiles:
+            assert win_out[s] == s_cap // chunk  # dummy output window
+            continue
+        w = win_in[s]
+        assert w == win_out[s]
+        lo = max(tile_info[0, t] - w * chunk, 0)
+        hi = min(tile_info[1, t] - w * chunk, chunk)
+        assert lo < hi  # every used step does work
+        sl = slice(w * chunk + lo, w * chunk + hi)
+        assert not covered[sl].any()  # disjoint
+        covered[sl] = True
+        assert np.all(gid[sl] < 6)
+    # exactly the live slots are covered
+    assert covered.sum() == starts[-1]
+    assert covered[: starts[-1]].all()
+    # per-tile steps are consecutive and windows ascend
     for t in np.nonzero(counts)[0]:
-        chunks_t = np.nonzero(toc == t)[0]
-        assert len(chunks_t) == -(-counts[t] // chunk)
-        assert np.array_equal(cit[chunks_t], np.arange(len(chunks_t)))
-        assert vic[chunks_t].sum() == counts[t]
-    # valid splat slots hold real gaussian ids, padding holds the sentinel
-    for w in np.nonzero(used)[0]:
-        sl = gid[w * chunk : (w + 1) * chunk]
-        assert np.all(sl[: vic[w]] < 6)
-        assert np.all(sl[vic[w] :] == 6)
+        steps_t = np.nonzero(step_tile == t)[0]
+        assert np.array_equal(steps_t, np.arange(steps_t[0], steps_t[-1] + 1))
+        assert np.array_equal(
+            win_in[steps_t],
+            np.arange(starts[t] // chunk, (starts[t + 1] - 1) // chunk + 1),
+        )
 
 
 def test_tilegrid_padding():
@@ -143,6 +171,30 @@ def test_reduce_rows_by_gid_matches_scatter():
         if gid[i] < cap:
             want[:, gid[i]] += rows[:, i]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_reduce_rows_by_gid_production_scale_one_signed():
+    """Cancellation guard: at millions of splats with one-signed rows (the
+    realistic shape of opacity/loss gradients) a plain f32 running prefix
+    makes adjacent differences cancel to ~ulp(global prefix) — up to ~14%
+    relative error per gaussian (round-1 advisor finding).  The compensated
+    prefix must stay at f32-roundoff-level relative error."""
+    import jax.numpy as jnp
+    from gaussian_splatting_tpu.culling import reduce_rows_by_gid
+
+    rng = np.random.default_rng(7)
+    cap, s, r = 1 << 18, 1 << 20, 2
+    gid = rng.integers(0, cap, s).astype(np.int32)
+    rows = rng.uniform(0.1, 1.0, (r, s)).astype(np.float32)  # one-signed
+
+    got = np.asarray(
+        reduce_rows_by_gid(jnp.asarray(rows), jnp.asarray(gid), cap)
+    )
+    want = np.zeros((r, cap), np.float64)
+    np.add.at(want.T, gid, rows.astype(np.float64).T)
+    denom = np.maximum(np.abs(want), 1e-3)
+    rel = np.abs(got - want) / denom
+    assert rel.max() < 1e-5, rel.max()
 
 
 def test_layout_with_features_grad():

@@ -23,7 +23,7 @@ from gaussian_splatting_tpu.culling import (
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops import reference_impl as oracle
 from gaussian_splatting_tpu.ops.render import (
-    build_chunk_meta,
+    build_step_meta,
     render_tiles,
     pad_feature_rows,
     splat_features,
@@ -145,7 +145,7 @@ def test_pallas_forward_matches_oracle(with_bg):
     )
     img_o, t_o = _oracle_image(uv, opac, conic, rgb, ids, valid, grid, bg)
 
-    meta = build_chunk_meta(layout, grid.x_tiles)
+    meta = build_step_meta(layout, grid.tile_count, CHUNK)
     feat_g = jnp.pad(splat_features(uv, opac, conic, rgb), ((0, 0), (0, 1)))
     feat = pad_feature_rows(feat_g[:, layout.gaussian_idx])
     img_p, t_p = render_tiles(
@@ -167,7 +167,7 @@ def test_pallas_grads_match_oracle(with_bg):
         if with_bg
         else jnp.zeros(3, jnp.float32)
     )
-    meta = build_chunk_meta(layout, grid.x_tiles)
+    meta = build_step_meta(layout, grid.tile_count, CHUNK)
 
     # a fixed random upstream gradient on the image AND the transmittance
     key = jax.random.PRNGKey(0)

@@ -18,7 +18,7 @@ from gaussian_splatting_tpu.culling import build_splat_layout, frustum_visible
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops import reference_impl as oracle
 from gaussian_splatting_tpu.ops import render_sh as rsh
-from gaussian_splatting_tpu.ops.render import build_chunk_meta, pad_feature_rows
+from gaussian_splatting_tpu.ops.render import build_step_meta, pad_feature_rows
 from gaussian_splatting_tpu.structs import Camera, TileGrid
 from tests import fixtures as fx
 from tests.test_render_grads import _dense_lists, _small_camera
@@ -85,7 +85,7 @@ def test_sh_forward_and_grads_match_oracle(n_sh, with_bg):
         if with_bg
         else jnp.zeros(3, jnp.float32)
     )
-    meta = build_chunk_meta(layout, grid.x_tiles)
+    meta = build_step_meta(layout, grid.tile_count, CHUNK)
     feat_rows = rsh._pad8(rsh.sh_feat_rows(n_sh))
 
     g_img = jax.random.normal(

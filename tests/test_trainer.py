@@ -62,6 +62,52 @@ def test_train_step_reduces_loss(setup):
     assert (counts[6:] == 0).all()
 
 
+def test_overflow_step_is_skipped(setup):
+    """A capacity-overflowing layout must leave params, Adam state, and the
+    densify accumulators untouched (the runner grows the bucket and the
+    next step proceeds normally)."""
+    state, gt, cam, pose = setup
+    params = dict(state.params)
+    params["rgb"] = params["rgb"] * 0.5  # make gradients nonzero
+    state = state._replace(params=params)
+
+    # splat capacity far below the fixture's ~641 splats forces overflow
+    cfg_tiny = CFG.replace(splat_capacity=256)
+    before = jax.tree_util.tree_map(jnp.copy, state)
+    state2, info = T.train_step(
+        jax.tree_util.tree_map(jnp.copy, state), gt, cam.K, pose,
+        jnp.zeros(3, jnp.float32),
+        config=cfg_tiny, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
+    )
+    assert bool(info["overflow"])
+    for k in before.params:
+        np.testing.assert_array_equal(
+            np.asarray(state2.params[k]), np.asarray(before.params[k]), k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(state2.grad_accum_count),
+        np.asarray(before.grad_accum_count),
+    )
+    from gaussian_splatting_tpu import optim
+
+    b_adam = optim.adam_moments(before.opt_state)
+    a_adam = optim.adam_moments(state2.opt_state)
+    np.testing.assert_array_equal(
+        np.asarray(a_adam.mu["xyz"]), np.asarray(b_adam.mu["xyz"])
+    )
+
+    # ... and a non-overflowing step with the same inputs does update
+    state3, info3 = T.train_step(
+        jax.tree_util.tree_map(jnp.copy, state), gt, cam.K, pose,
+        jnp.zeros(3, jnp.float32),
+        config=CFG, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
+    )
+    assert not bool(info3["overflow"])
+    assert not np.array_equal(
+        np.asarray(state3.params["rgb"]), np.asarray(before.params["rgb"])
+    )
+
+
 def test_adaptive_density_control_delete_and_split(setup):
     state, gt, cam, pose = setup
     for _ in range(2):
