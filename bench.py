@@ -30,15 +30,12 @@ def main():
     from gaussian_splatting_tpu.config import SplatConfig
     from gaussian_splatting_tpu.structs import GaussianScene
 
+    from gaussian_splatting_tpu import geometry as geo
+    from gaussian_splatting_tpu import culling as cu
+    from gaussian_splatting_tpu.structs import Camera, TileGrid
+
     n = 1_500_000
     H, W = 840, 1296
-    # splat capacity: the scene produces ~2.25M tile-gaussian pairs; a 4M
-    # bucket holds them with headroom (the runner sizes this per scene and
-    # re-jits when a bucket is crossed; overflow is flagged).  The visible
-    # bucket likewise mirrors what the runner would settle on.
-    config = SplatConfig(
-        splat_capacity=1 << 22, chunk=256, visible_capacity=1 << 20
-    )
 
     rng = np.random.default_rng(0)
     xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + np.array(
@@ -51,7 +48,6 @@ def main():
     scene = GaussianScene.create(
         xyz, rgb, opacity, scale, quat, capacity=1 << 21
     )
-    state = T.init_train_state(scene, config)
 
     K = jnp.array(
         [[1100.0, 0, W / 2], [0, 1100.0, H / 2], [0, 0, 1]], jnp.float32
@@ -59,6 +55,77 @@ def main():
     pose = jnp.eye(4, dtype=jnp.float32)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
+
+    # probe the scene's layout shape on host (numpy mirror of the culling
+    # window math) and bucket the static capacities exactly like the
+    # runner's steady state would (runner._rebucket_splat_capacity)
+    params = scene.params()
+    xyz_cam = np.asarray(geo.transform_points(params["xyz"], pose))
+    uv_p = np.asarray(geo.project_points(jnp.asarray(xyz_cam), K))
+    sigma = geo.compute_sigma_world(params["quaternion"], params["scale"])
+    J = geo.compute_projection_jacobian(jnp.asarray(xyz_cam), K)
+    conic = np.asarray(geo.compute_conic(sigma, J, pose))
+    grid = TileGrid(H, W)
+    vis = np.asarray(
+        cu.frustum_visible(
+            jnp.asarray(xyz_cam), jnp.asarray(uv_p), (W, H), 0.3, 500.0,
+            100.0,
+        )
+    ) & np.asarray(scene.alive)
+    a = conic[:, 0] + 0.25
+    b = conic[:, 1] * 0.5
+    c = conic[:, 2] + 0.25
+    mean = (a + c) * 0.5
+    half = np.sqrt((a - c) ** 2 * 0.25 + b * b)
+    r_major = 3.0 * np.sqrt(np.maximum(mean + half, 0.0))
+    r_minor = 3.0 * np.sqrt(np.maximum(mean - half, 0.0))
+    theta = np.where(
+        np.abs(b) < 1e-16,
+        np.where(a >= c, 0.0, np.pi / 2),
+        np.arctan2(mean + half - a, b),
+    )
+    ext_x = r_major * np.abs(np.cos(theta)) + r_minor * np.abs(np.sin(theta))
+    ext_y = r_major * np.abs(np.sin(theta)) + r_minor * np.abs(np.cos(theta))
+    lo_x = np.clip(
+        np.floor((uv_p[:, 0] - ext_x) / 16).astype(int), 0, grid.x_tiles
+    )
+    hi_x = np.clip(
+        np.floor((uv_p[:, 0] + ext_x) / 16).astype(int) + 1, 0,
+        grid.x_tiles,
+    )
+    lo_y = np.clip(
+        np.floor((uv_p[:, 1] - ext_y) / 16).astype(int), 0, grid.y_tiles
+    )
+    hi_y = np.clip(
+        np.floor((uv_p[:, 1] + ext_y) / 16).astype(int) + 1, 0,
+        grid.y_tiles,
+    )
+    area = np.where(vis, np.maximum(hi_x - lo_x, 0) * np.maximum(
+        hi_y - lo_y, 0), 0)
+    n_visible = int((area > 0).sum())
+    members = []
+    prev = 0
+    for k in cu.TIER_CELLS:
+        members.append(int(((area > prev) & (area <= k)).sum()))
+        prev = k
+    members[-1] += int((area > cu.TIER_CELLS[-1]).sum())
+    caps = tuple(
+        cu.capacity_bucket(m * 13 // 10 + 1, f)
+        for m, f in zip(members, cu.TIER_FLOORS)
+    )
+    vbucket = cu.capacity_bucket(n_visible * 13 // 10 + 1, 1 << 16)
+    cells = sum(k * cp for k, cp in zip(cu.TIER_CELLS, caps))
+    print(
+        f"probe: visible={n_visible} members={members} caps={caps} "
+        f"cells={cells}",
+        file=sys.stderr,
+    )
+    config = SplatConfig(
+        splat_capacity=1 << 22, chunk=256,
+        visible_capacity=min(vbucket, 1 << 21),
+        tier_capacities=caps,
+    )
+    state = T.init_train_state(scene, config)
 
     def step(state):
         return T.train_step(

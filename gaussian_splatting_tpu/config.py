@@ -100,6 +100,11 @@ class SplatConfig:
     # visible-gaussian compaction capacity per frame; 0 = gaussian capacity
     # (the runner right-sizes this from the observed visible count)
     visible_capacity: int = 0
+    # per-tier member capacities (one per culling.TIER_CELLS entry); None
+    # derives a conservative default from splat_capacity.  The runner
+    # right-sizes these from the observed per-tier member counts — the
+    # splat-list width (and so sort/kernel cost) is sum(K_i * cap_i).
+    tier_capacities: tuple | None = None
     # rasterizer chunk length (splats per grid step)
     chunk: int = 256
     # random seed
@@ -108,11 +113,22 @@ class SplatConfig:
     # semantics (one camera per iteration)
     data_parallel: int = 1
 
+    def __post_init__(self):
+        # configs are static jit arguments: tier_capacities must be
+        # hashable (yaml round-trips tuples as lists)
+        if isinstance(self.tier_capacities, list):
+            object.__setattr__(
+                self, "tier_capacities", tuple(self.tier_capacities)
+            )
+
     def replace(self, **kw) -> "SplatConfig":
         return dataclasses.replace(self, **kw)
 
     def to_yaml(self) -> str:
-        return yaml.safe_dump(dataclasses.asdict(self), sort_keys=False)
+        d = dataclasses.asdict(self)
+        if d.get("tier_capacities") is not None:
+            d["tier_capacities"] = list(d["tier_capacities"])
+        return yaml.safe_dump(d, sort_keys=False)
 
     @staticmethod
     def from_yaml(text: str) -> "SplatConfig":

@@ -40,16 +40,20 @@ import jax.numpy as jnp
 
 from gaussian_splatting_tpu.structs import TILE_PX, TileGrid
 
-# Tier cell widths: a gaussian whose clipped window has at most K cells is
-# handled by the first tier with capacity left.  Tier 0 admits every
-# compacted visible gaussian (2 padded cells — most trained splats hit 1-2
-# tiles); the big-gaussian tiers admit contiguous segments of the
-# area-descending compacted ordering, with per-frame capacities derived
-# from splat_capacity in build_splat_layout.
-TIER_CELLS = (2, 4, 16, 256, 4096)
-# Floor on big-tier capacities so tiny scenes (e.g. the 6-gaussian test
-# fixture) still route their large gaussians somewhere.
+# Tier cell widths: gaussians are routed by clipped window area into the
+# tier whose K bounds it (tier i holds areas in (TIER_CELLS[i-1],
+# TIER_CELLS[i]]).  Every tier is a contiguous segment of the
+# area-descending compacted ordering; per-tier capacities come from
+# config.tier_capacities (the runner right-sizes them from the observed
+# per-tier member counts) or a splat_capacity-derived default.  The ratio-2
+# spacing through 64 keeps per-cell padding under 2x where the mass of a
+# trained scene lives (1-16 cells).
+TIER_CELLS = (1, 2, 4, 8, 16, 32, 64, 256, 1024, 4096)
+# Floor on tier capacities so tiny scenes (e.g. the 6-gaussian test
+# fixture) still route their gaussians somewhere; scaled down for the
+# big-cell tiers so the floors alone don't bloat the splat-list width.
 TIER_MIN = 64
+TIER_FLOORS = tuple(max(256 // k, 8) for k in TIER_CELLS)
 # Sentinel tile id for invalid candidate cells (sorts after any real tile).
 SENTINEL = jnp.int32(2**30)
 # Sentinel for packed (tile << z_bits | zq) candidate keys: int32 max, so
@@ -75,9 +79,11 @@ class SplatLayout(NamedTuple):
     num_splats   : () i32   total live splats (before any capacity drop)
     num_visible  : () i32   contributing gaussians this frame (drives the
                    runner's visible_capacity bucket)
+    tier_members : (len(TIER_CELLS),) i32  gaussians routed to each tier
+                   (drives the runner's per-tier capacity buckets)
     overflow     : () bool  true if work was dropped because a *capacity*
-                   limit was hit (visible compaction, candidate tiers,
-                   splat capacity) — growing the capacities fixes these
+                   limit was hit (visible compaction or a tier capacity) —
+                   growing the capacities fixes these
     truncated    : () bool  true if a gaussian's clipped window exceeded
                    TIER_CELLS[-1] cells, so only its leading window cells
                    rendered — no capacity growth can fix this (the runner
@@ -90,6 +96,7 @@ class SplatLayout(NamedTuple):
     tile_has_output: jax.Array
     num_splats: jax.Array
     num_visible: jax.Array
+    tier_members: jax.Array
     overflow: jax.Array
     truncated: jax.Array
 
@@ -274,17 +281,51 @@ def _tier_keys(sx, sy, wx, wy, obb, member, zq, k_cells, x_tiles, z_bits):
     return jnp.where(hit, key, KEY_SENTINEL)
 
 
-def _tier_capacities(m_comp: int, splat_capacity: int):
-    """Per-frame candidate capacities for the big-gaussian tiers.
+def capacity_bucket(want: int, floor: int = 8) -> int:
+    """Smallest half-step power-of-two bucket (1 or 1.5 times 2^k) at or
+    above ``want``.  Coarse enough that runner re-bucketing (and so the
+    minutes-long TPU sort recompiles) stays rare, fine enough that the
+    padded splat-list width stays within ~1.5x of the live work."""
+    want = max(int(want), int(floor), 1)
+    c = 1
+    while True:
+        for m in (2, 3):
+            if m * c >= want:
+                return m * c
+        c <<= 1
 
-    Tier 0 (<= TIER_CELLS[0] cells) admits every compacted visible
-    gaussian.  Each later tier's padded candidate contribution is capped at
-    splat_capacity//4, bounding the big sort at
-    TIER_CELLS[0]*m_comp + (len(TIER_CELLS)-1)/4*splat_capacity entries.
+
+def _compacted_width(n: int, visible_capacity: int) -> int:
+    """Number of compacted columns the layout keeps after the area sort."""
+    return min(n, max(visible_capacity, TIER_MIN)) if visible_capacity else n
+
+
+def _tier_capacities(
+    m_comp: int, splat_capacity: int, explicit=None
+):
+    """Per-frame member capacities for each tier.
+
+    ``explicit`` (config.tier_capacities, runner-bucketed from observed
+    member counts) wins; otherwise a conservative default is derived from
+    splat_capacity: tier 0 (1-cell windows — the bulk of a trained scene)
+    admits every compacted gaussian, and each later tier gets an equal
+    share of a 2x splat_capacity cell budget.  All capacities are floored
+    at TIER_MIN (tiny test scenes) and clipped to m_comp.
     """
+    if explicit is not None:
+        if len(explicit) != len(TIER_CELLS):
+            raise ValueError(
+                f"tier_capacities needs {len(TIER_CELLS)} entries "
+                f"(one per {TIER_CELLS}), got {len(explicit)}"
+            )
+        return tuple(
+            min(m_comp, max(f, int(c)))
+            for f, c in zip(TIER_FLOORS, explicit)
+        )
     caps = [m_comp]
-    for k in TIER_CELLS[1:]:
-        caps.append(min(m_comp, max(TIER_MIN, splat_capacity // (4 * k))))
+    budget = 2 * splat_capacity // max(len(TIER_CELLS) - 1, 1)
+    for k, f in zip(TIER_CELLS[1:], TIER_FLOORS[1:]):
+        caps.append(min(m_comp, max(f, budget // k)))
     return tuple(caps)
 
 
@@ -299,14 +340,18 @@ def _layout_impl(
     splat_capacity: int,
     chunk: int,
     visible_capacity: int = 0,
+    tier_capacities=None,
 ):
     """Assign gaussians to tiles and depth-sort per tile.
 
     Replaces get_sorted_gaussian_list (src/tile_culling.cu:244-340).
-    Returns (SplatLayout, feat (R, splat_capacity) or None): per-gaussian
-    feature rows are expanded to per-splat columns by CARRYING them as sort
+    Returns (SplatLayout, feat (R, S) or None, aux): per-gaussian feature
+    rows are expanded to per-splat columns by CARRYING them as sort
     operands (extra sort operands are nearly free on TPU, while a per-splat
-    gather costs ~10-30x more).
+    gather costs ~10-30x more).  S = sum(TIER_CELLS[i] * cap_i) rounded up
+    to a whole number of chunks: the sorted candidate array IS the splat
+    list (full width — no truncation pass; the kernels only walk live
+    tile ranges, so the sentinel tail costs nothing).
 
     Two sorts total:
     1. a COMPACTION sort over the N capacity slots, keyed by descending
@@ -339,6 +384,23 @@ def _layout_impl(
     a = jnp.where(finite, a, 1.0)
     b = jnp.where(finite, b, 0.0)
     c = jnp.where(finite, c, 1.0)
+    # CONTRACT with ops.render.splat_features / ops.render_sh
+    # .sh_splat_features / ops.depth.depth_features: rows 0..5 of a
+    # full feature bundle are (u, v, opacity, a+0.25, b/2, c+0.25) —
+    # identical to the regularised values above for finite entries.
+    # Overriding them with the sanitised copies lets the post-compaction
+    # geometry be RECOMPUTED from the carried feature rows instead of
+    # carrying obb + window through the sort (TPU sort compile time
+    # grows quadratically with operand count).  Shorter bundles (tests,
+    # tooling) fall back to carrying u, v, a, b, c explicitly.
+    geom_from_feat = feat_g is not None and feat_g.shape[0] >= 6
+    if geom_from_feat:
+        feat_g = jnp.concatenate(
+            [
+                jnp.stack([u, v, feat_g[2], a, b, c]),
+                feat_g[6:],
+            ]
+        )
     # barrier: stops XLA re-fusing the caller's per-gaussian geometry chain
     # (sigma/J/conic einsums, feature packing) into every consumer below
     # (code-size and runtime blowup from duplicated producers)
@@ -379,45 +441,52 @@ def _layout_impl(
         contributes, AREA_CLIP - jnp.minimum(area, AREA_CLIP - 1),
         KEY_SENTINEL,
     )
-    m_comp = min(n, max(visible_capacity, TIER_MIN)) if visible_capacity \
-        else n
+    m_comp = _compacted_width(n, visible_capacity)
     n_rows = 0 if feat_g is None else feat_g.shape[0]
-    comp_ops = [
-        comp_key, zq, jnp.arange(n, dtype=jnp.int32),
-        sx, sy, wx, wy,
-    ] + [obb[:, j] for j in range(8)]
+    # geometry is recomputed from the carried rows after the sort (see
+    # the rows-0..5 override above), so the sort carries no obb/window
+    # operands
+    comp_ops = [comp_key, zq, jnp.arange(n, dtype=jnp.int32)]
     if n_rows:
         comp_ops += [feat_g[r] for r in range(n_rows)]
+    if not geom_from_feat:
+        comp_ops += [u, v, a, b, c]
     comp = jax.lax.sort(
         tuple(jax.lax.optimization_barrier(tuple(comp_ops))),
         num_keys=1, is_stable=False,
     )
     zq_c, gid_c = comp[1][:m_comp], comp[2][:m_comp]
-    sx_c, sy_c = comp[3][:m_comp], comp[4][:m_comp]
-    wx_c, wy_c = comp[5][:m_comp], comp[6][:m_comp]
-    obb_c = jnp.stack([comp[7 + j][:m_comp] for j in range(8)], axis=-1)
     feat_c = None
     if n_rows:
-        feat_c = jnp.stack([comp[15 + r][:m_comp] for r in range(n_rows)])
+        feat_c = jnp.stack([comp[3 + r][:m_comp] for r in range(n_rows)])
+    if geom_from_feat:
+        u_c, v_c = feat_c[0], feat_c[1]
+        a_c, b_c, c_c = feat_c[3], feat_c[4], feat_c[5]
+    else:
+        u_c, v_c, a_c, b_c, c_c = (
+            comp[3 + n_rows + j][:m_comp] for j in range(5)
+        )
+    obb_c, _ = _obb_and_radius(u_c, v_c, a_c, b_c, c_c, mh_dist)
+    sx_c, sy_c, wx_c, wy_c = _window(obb_c, grid.x_tiles, grid.y_tiles)
     slot = jnp.arange(m_comp, dtype=jnp.int32)
-    in_vis = slot < jnp.minimum(n_vis, m_comp)
+    n_vis_c = jnp.minimum(n_vis, m_comp).astype(jnp.int32)
+    in_vis = slot < n_vis_c
     area_c = jnp.where(in_vis, wx_c * wy_c, 0)  # non-increasing (clipped)
     dropped = n_vis > m_comp  # visible-capacity overflow (grow to fix)
 
-    k0 = TIER_CELLS[0]
-    caps = _tier_capacities(m_comp, s_cap)
+    caps = _tier_capacities(m_comp, s_cap, tier_capacities)
 
-    tier_keys = [
-        _tier_keys(sx_c, sy_c, wx_c, wy_c, obb_c, in_vis & (area_c <= k0),
-                   zq_c, k0, grid.x_tiles, z_bits)
+    # tier i covers areas (TIER_CELLS[i-1], TIER_CELLS[i]] — a contiguous
+    # segment [#(area > K_i), #(area > K_{i-1})) of the area-descending
+    # compacted ordering; gt[i] = #compacted gaussians with area > K_i
+    gt = [
+        jnp.sum((area_c > k).astype(jnp.int32)) for k in TIER_CELLS
     ]
-    tier_gid = [gid_c]
-    tier_feat = [feat_c]
-    # boundary[i] = #compacted gaussians with area > TIER_CELLS[i]
-    for i, k_cells in enumerate(TIER_CELLS[1:], start=1):
-        k_prev = TIER_CELLS[i - 1]
+    tier_keys, tier_gid, tier_feat = [], [], []
+    tier_starts, tier_members = [], []
+    for i, k_cells in enumerate(TIER_CELLS):
+        k_prev = 0 if i == 0 else TIER_CELLS[i - 1]
         last_tier = i == len(TIER_CELLS) - 1
-        start = jnp.sum((area_c > k_cells).astype(jnp.int32))
         cap_i = caps[i]
         if last_tier:
             # the last tier admits everything larger than the previous tier
@@ -426,17 +495,22 @@ def _layout_impl(
             # disappearing (and losing all gradient); their tail cells are
             # truncated, which the `truncated` flag below reports
             start = jnp.int32(0)
+            n_member = gt[i - 1]
+        else:
+            start = gt[i].astype(jnp.int32)
+            prev_gt = n_vis_c if i == 0 else gt[i - 1]
+            n_member = prev_gt - gt[i]
+        tier_starts.append(start)
+        tier_members.append(n_member)
+        # segment longer than the tier capacity -> tail members dropped
+        dropped |= n_member > cap_i
         sel = lambda arr: jax.lax.dynamic_slice_in_dim(arr, start, cap_i, 0)
         area_i = sel(area_c)
+        # area_c is zero at non-contributing columns, so > k_prev also
+        # excludes them in tier 0 (k_prev = 0)
         member = area_i > k_prev
         if not last_tier:
             member &= area_i <= k_cells
-        # segment longer than the tier capacity -> tail members dropped
-        upper = True if last_tier else (area_c <= k_cells)
-        n_member = jnp.sum(
-            ((area_c > k_prev) & upper).astype(jnp.int32)
-        )
-        dropped |= n_member > cap_i
         tier_keys.append(
             _tier_keys(sel(sx_c), sel(sy_c), sel(wx_c), sel(wy_c),
                        jax.lax.dynamic_slice_in_dim(obb_c, start, cap_i, 0),
@@ -453,8 +527,10 @@ def _layout_impl(
     truncated = jnp.any(area_c > TIER_CELLS[-1])
 
     # ---- THE sort, over all padded candidates: one packed (tile, z) i32
-    # key, values (gid, feature rows).  gid / features are regular row
-    # broadcasts (no per-candidate gathers).
+    # key, values (gid, cell position, feature rows).  gid / features are
+    # regular row broadcasts (no per-candidate gathers); the carried cell
+    # position records the sort permutation so the VJP can invert it with
+    # one sort (see _reduce_splat_grads).
     def flat(arrs):
         return jnp.concatenate([x.reshape(-1) for x in arrs])
 
@@ -465,6 +541,7 @@ def _layout_impl(
             for g, t in zip(tier_gid, tier_keys)
         ]
     )
+    cand_pos = jnp.arange(cand_key.shape[0], dtype=jnp.int32)
     cand_feat = [
         flat(
             [
@@ -477,26 +554,27 @@ def _layout_impl(
     # barrier: without it XLA fuses a copy of the whole SAT/obb producer
     # chain into each sort operand, bloating generated code several-fold
     ops = jax.lax.optimization_barrier(
-        tuple([cand_key, cand_gid] + cand_feat)
+        tuple([cand_key, cand_gid, cand_pos] + cand_feat)
     )
     sorted1 = jax.lax.sort(ops, num_keys=1, is_stable=False)
     sort_key, sort_gid = sorted1[0], sorted1[1]
-    sort_feat = list(sorted1[2:])
+    pos_sorted = sorted1[2]  # (c_cand,) cell id per splat slot
+    sort_feat = list(sorted1[3:])
     c_cand = sort_key.shape[0]
     sort_tile = jax.lax.shift_right_logical(sort_key, jnp.int32(z_bits))
     num_splats = jnp.sum((sort_tile < n_tiles).astype(jnp.int32))
-    overflow = dropped | (num_splats > s_cap)
-    if c_cand < s_cap:
+    overflow = dropped
+    # full-width layout: every candidate cell has a splat slot (the kernels
+    # only walk tiles' live ranges, so sentinel-tail slots cost nothing);
+    # pad to a whole number of rasterizer chunks
+    s_out = -(-c_cand // chunk) * chunk
+    if s_out > c_cand:
         sort_tile = jnp.pad(
-            sort_tile, (0, s_cap - c_cand),
+            sort_tile, (0, s_out - c_cand),
             constant_values=int(KEY_SENTINEL) >> z_bits,
         )
-        sort_gid = jnp.pad(sort_gid, (0, s_cap - c_cand), constant_values=n)
-        sort_feat = [jnp.pad(f, (0, s_cap - c_cand)) for f in sort_feat]
-    else:
-        sort_tile = sort_tile[:s_cap]
-        sort_gid = sort_gid[:s_cap]
-        sort_feat = [f[:s_cap] for f in sort_feat]
+        sort_gid = jnp.pad(sort_gid, (0, s_out - c_cand), constant_values=n)
+        sort_feat = [jnp.pad(f, (0, s_out - c_cand)) for f in sort_feat]
     valid_slot = sort_tile < n_tiles
     gaussian_idx = jnp.where(valid_slot, sort_gid, n)
     feat = None
@@ -520,10 +598,20 @@ def _layout_impl(
         tile_has_output=tile_has_output,
         num_splats=num_splats,
         num_visible=n_vis,
+        tier_members=jnp.stack(
+            [m.astype(jnp.int32) for m in tier_members]
+        ),
         overflow=overflow,
         truncated=truncated,
     )
-    return layout, feat
+    # aux: everything the feature-expansion VJP needs to run without a
+    # scatter or a global prefix sum (see _reduce_splat_grads)
+    aux = dict(
+        pos_sorted=pos_sorted,
+        gid_full=comp[2],  # (n,) compaction permutation, full width
+        tier_starts=tuple(tier_starts),
+    )
+    return layout, feat, aux
 
 
 def build_splat_layout(
@@ -536,125 +624,138 @@ def build_splat_layout(
     splat_capacity: int,
     chunk: int,
     visible_capacity: int = 0,
+    tier_capacities=None,
 ) -> SplatLayout:
     """Layout only (no feature carry) — tests and tooling."""
-    layout, _ = _layout_impl(
+    layout, _, _ = _layout_impl(
         uv, conic, z_camera, visible, None, grid, mh_dist, splat_capacity,
-        chunk, visible_capacity,
+        chunk, visible_capacity, tier_capacities,
     )
     return layout
 
 
-def reduce_rows_by_gid(rows: jax.Array, gid: jax.Array, cap: int) -> jax.Array:
-    """Sum per-splat rows (R, S) into per-gaussian rows (R, cap).
+def _reduce_splat_grads(
+    feat_cot: jax.Array,
+    gidx: jax.Array,
+    pos_sorted: jax.Array,
+    gid_full: jax.Array,
+    tier_starts,
+    caps,
+    m_comp: int,
+) -> jax.Array:
+    """VJP of the per-splat feature expansion: (R, S) splat-slot gradient
+    rows -> (R, n) per-gaussian sums, with no scatter (a ~100ms/M-index
+    scalar loop on TPU) and no global prefix sum (whose adjacent-difference
+    cancellation grows with total splat count — the round-1 compensated
+    cumsum existed to fight exactly that).
 
-    This is the transpose of the feature expansion — the replacement for a
-    scatter-add (which lowers to a ~100ms/M-index scalar loop on TPU).
-    All-sort formulation: group by gid (sort 1), running-sum, then compact
-    one per-gid total to its dense slot (sort 2) and difference:
+    The candidate sort is a *permutation* of the padded tier cell grids, and
+    it carried each cell's flat position (``pos_sorted``).  So the transpose
+    of "expand features to splats" factors into three exactly-invertible or
+    dense steps:
 
-      1. sort (gid, rows...) with one zero-valued DUMMY entry per gaussian
-         keyed to sort after its real entries;
-      2. cumulative sum along the sorted axis — each dummy now holds the
-         inclusive prefix total up to and including its gaussian's run;
-      3. sort dummies to the front by gid (unique keys -> dense positions)
-         and take adjacent differences: out[g] = csum@dummy_g - csum@dummy_{g-1}.
-
-    The prefix sum is *compensated*: a plain f32 running sum over S+cap
-    entries makes the adjacent difference cancel to ~ulp(global prefix),
-    a scale-dependent relative error of up to ~10% per gaussian at
-    multi-million splat counts with one-signed rows (the reference's
-    scatter-add, render_backward.cu:238-282, only ever adds per-gaussian
-    terms).  A Fast2Sum residual cumsum (`lo`) is carried alongside and
-    both differences are taken before recombining, so the error is bounded
-    by the *residual* magnitude, not the global prefix.
+      1. UNDO the candidate sort: sort the gradient rows by ``pos_sorted``
+         (one sort) — gradients land on their tier cells, giving dense
+         (K, M) grids per tier;
+      2. reduce each tier over its K cell axis (a dense tree sum — error is
+         bounded per gaussian, matching the reference's scatter-add which
+         only ever adds per-gaussian terms, render_backward.cu:238-282) and
+         add tier segments onto the compacted columns they were sliced from;
+      3. UNDO the compaction sort: sort the per-column sums by the carried
+         compaction permutation ``gid_full`` back to original gaussian order.
     """
-    r, s = rows.shape
-    valid = gid < cap
-    # one packed key: gid*2 for real entries, gid*2+1 for the dummies, so
-    # each dummy sorts directly after its gaussian's run (invalid reals key
-    # past every dummy)
-    key1 = jnp.where(valid, gid * 2, jnp.int32(2**31 - 2))
-    keys = jnp.concatenate(
-        [key1, jnp.arange(cap, dtype=jnp.int32) * 2 + 1]
-    )
-    flag = jnp.concatenate(
-        [jnp.zeros((s,), jnp.int32), jnp.ones((cap,), jnp.int32)]
-    )
-    # sanitise: dead-lane grads can be NaN (harmless in the scatter design,
-    # fatal in a cumsum)
-    rows = jnp.where(valid[None, :], rows, 0.0)
-    ops = [keys, flag] + [
-        jnp.concatenate([rows[i], jnp.zeros((cap,), rows.dtype)])
-        for i in range(r)
-    ]
-    sorted1 = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
-    skey, sflag = sorted1[0] >> 1, sorted1[1]
-    # one (R, S+cap) cumsum (sublane-vectorised) instead of R separate scans
-    vals = jnp.stack(sorted1[2:])
-    hi = jnp.cumsum(vals, axis=1)
-    # Fast2Sum residual of each running add: err_i = v_i - (hi_i - hi_{i-1})
-    # (exact when |hi_{i-1}| >= |v_i|, ~ulp(v_i) otherwise); its cumsum is
-    # the small-magnitude correction of the prefix
-    hi_prev = jnp.concatenate([jnp.zeros((r, 1), hi.dtype), hi[:, :-1]], 1)
-    lo = jnp.cumsum(vals - (hi - hi_prev), axis=1)
-    key2 = jnp.where(sflag == 1, skey, SENTINEL)
-    sorted2 = jax.lax.sort(
-        tuple([key2] + [hi[i] for i in range(r)] + [lo[i] for i in range(r)]),
+    r, s_cap = feat_cot.shape
+    c_cand = pos_sorted.shape[0]
+    n = gid_full.shape[0]
+    # sanitise: slots past num_splats are never written by the backward
+    # kernel (their windows are unvisited), so their rows can be garbage
+    valid = gidx < n
+    g = jnp.where(valid[None, :], feat_cot, 0.0)
+    if c_cand > s_cap:
+        # cells whose slots were truncated by splat_capacity get zero grad
+        g = jnp.pad(g, ((0, 0), (0, c_cand - s_cap)))
+    else:
+        g = g[:, :c_cand]
+    inv = jax.lax.sort(
+        tuple([pos_sorted] + [g[i] for i in range(r)]),
         num_keys=1, is_stable=False,
     )
-    dense_hi = jnp.stack([x[:cap] for x in sorted2[1 : 1 + r]])
-    dense_lo = jnp.stack([x[:cap] for x in sorted2[1 + r :]])
+    cells = inv[1:]
 
-    def adj_diff(d):
-        prev = jnp.concatenate([jnp.zeros((r, 1), d.dtype), d[:, :-1]], 1)
-        return d - prev
+    acc = jnp.zeros((r, m_comp), feat_cot.dtype)
+    off = 0
+    for k_cells, cap_i, start in zip(TIER_CELLS, caps, tier_starts):
+        seg = jnp.stack(
+            [cells[j][off : off + k_cells * cap_i] for j in range(r)]
+        )
+        seg = seg.reshape(r, k_cells, cap_i).sum(axis=1)
+        # dynamic_slice clamps start exactly like the forward's tier
+        # selection (dynamic_slice_in_dim), so fwd/bwd stay consistent
+        zero = jnp.zeros_like(start)
+        cur = jax.lax.dynamic_slice(acc, (zero, start), (r, cap_i))
+        acc = jax.lax.dynamic_update_slice(acc, cur + seg, (zero, start))
+        off += k_cells * cap_i
 
-    return adj_diff(dense_hi) + adj_diff(dense_lo)
+    accn = jnp.pad(acc, ((0, 0), (0, n - m_comp)))
+    out = jax.lax.sort(
+        tuple([gid_full] + [accn[i] for i in range(r)]),
+        num_keys=1, is_stable=False,
+    )
+    return jnp.stack(out[1:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def layout_with_features(
     uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-    chunk, visible_capacity=0,
+    chunk, visible_capacity=0, tier_capacities=None,
 ):
     """(layout, feat): tile assignment + per-splat feature expansion.
 
-    Differentiable in ``feat_g`` only (R, N) -> (R, splat_capacity); the
-    discrete tile assignment gives no gradient to uv/conic/z (matching the
-    reference, where the splat list is built outside autograd,
-    splat_py/rasterize.py:84).  The custom VJP turns the expansion's
-    transpose (a scatter-add over splat->gaussian ids) into the all-sort
-    reduction ``reduce_rows_by_gid``.
+    Differentiable in ``feat_g`` only (R, N) -> (R, S); the discrete tile
+    assignment gives no gradient to uv/conic/z (matching the reference,
+    where the splat list is built outside autograd,
+    splat_py/rasterize.py:84).  The custom VJP inverts the layout's two
+    sort permutations instead of scatter-adding over splat->gaussian ids
+    (see ``_reduce_splat_grads``).
     """
-    return _layout_impl(
+    layout, feat, _ = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-        chunk, visible_capacity,
+        chunk, visible_capacity, tier_capacities,
     )
+    return layout, feat
 
 
 def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
-             splat_capacity, chunk, visible_capacity=0):
-    out = _layout_impl(
+             splat_capacity, chunk, visible_capacity=0,
+             tier_capacities=None):
+    layout, feat, aux = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-        chunk, visible_capacity,
+        chunk, visible_capacity, tier_capacities,
     )
-    layout, _ = out
     res = (
         layout.gaussian_idx,
+        aux["pos_sorted"],
+        aux["gid_full"],
+        aux["tier_starts"],
         uv.shape, conic.shape, z_camera.shape, visible.shape,
         feat_g.shape,
     )
-    return out, res
+    return (layout, feat), res
 
 
-def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity, res,
-             cot):
+def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
+             tier_capacities, res, cot):
     import numpy as np
 
-    gidx, uv_s, conic_s, z_s, vis_s, feat_s = res
+    gidx, pos_sorted, gid_full, tier_starts, uv_s, conic_s, z_s, vis_s, \
+        feat_s = res
     _, feat_cot = cot
-    g_feat_g = reduce_rows_by_gid(feat_cot, gidx, feat_s[1])
+    n = feat_s[1]
+    m_comp = _compacted_width(n, visible_capacity)
+    caps = _tier_capacities(m_comp, splat_capacity, tier_capacities)
+    g_feat_g = _reduce_splat_grads(
+        feat_cot, gidx, pos_sorted, gid_full, tier_starts, caps, m_comp
+    )
     return (
         jnp.zeros(uv_s, jnp.float32),
         jnp.zeros(conic_s, jnp.float32),

@@ -51,11 +51,12 @@ def _local_loss(params, alive, uv_offset, gt, K, pose, bg, *, config,
         uv_offset=uv_offset,
         interpret=interpret,
         visible_capacity=config.visible_capacity,
+        tier_capacities=config.tier_capacities,
     )
     loss, psnr = train_loss(res.image, gt, config.ssim_frac)
     return loss, (
         psnr, res.visible, res.num_splats, res.num_visible,
-        res.overflow, res.truncated,
+        res.tier_members, res.overflow, res.truncated,
     )
 
 
@@ -109,13 +110,15 @@ def dp_train_step(
         (loss, aux), (gparams, g_uv) = grad_fn(
             state.params, state.alive, uv_zero, gt[0], K[0], pose[0], bg[0]
         )
-        psnr, visible, num_splats, num_visible, overflow, truncated = aux
+        (psnr, visible, num_splats, num_visible, tier_members, overflow,
+         truncated) = aux
         # mean-reduce over the data axis (ICI collective)
         gparams = jax.lax.pmean(gparams, "data")
         loss = jax.lax.pmean(loss, "data")
         psnr = jax.lax.pmean(psnr, "data")
         num_splats = jax.lax.pmax(num_splats, "data")
         num_visible = jax.lax.pmax(num_visible, "data")
+        tier_members = jax.lax.pmax(tier_members, "data")
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data") > 0
         truncated = jax.lax.pmax(truncated.astype(jnp.int32), "data") > 0
 
@@ -154,7 +157,8 @@ def dp_train_step(
         )
         info = dict(
             loss=loss, psnr=psnr, num_splats=num_splats,
-            num_visible=num_visible, overflow=overflow, truncated=truncated,
+            num_visible=num_visible, tier_members=tier_members,
+            overflow=overflow, truncated=truncated,
             n_alive=jnp.sum(state.alive.astype(jnp.int32)),
         )
         return new_state, info

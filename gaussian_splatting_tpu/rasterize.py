@@ -40,6 +40,7 @@ class RenderResult(NamedTuple):
     transmittance: jax.Array  # (n_tiles, 256)
     num_splats: jax.Array  # () i32
     num_visible: jax.Array  # () i32 contributing gaussians this frame
+    tier_members: jax.Array  # (n_tiers,) i32 per-tier member counts
     overflow: jax.Array  # () bool — capacity-fixable work drop (grow bucket)
     truncated: jax.Array  # () bool — oversized-window tail cells cut
 
@@ -66,6 +67,7 @@ def rasterize(
     uv_offset: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
     visible_capacity: int = 0,
+    tier_capacities: Optional[tuple] = None,
 ) -> RenderResult:
     """Render the scene from one camera.
 
@@ -121,7 +123,7 @@ def rasterize(
 
     layout, feat = layout_with_features(
         uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
-        splat_capacity, chunk, visible_capacity,
+        splat_capacity, chunk, visible_capacity, tier_capacities,
     )
     meta = build_step_meta(layout, grid.tile_count, chunk)
     feat = pad_feature_rows(feat, feat_rows)
@@ -149,6 +151,7 @@ def rasterize(
         transmittance=T,
         num_splats=layout.num_splats,
         num_visible=layout.num_visible,
+        tier_members=layout.tier_members,
         overflow=layout.overflow,
         truncated=layout.truncated,
     )
@@ -168,6 +171,7 @@ def render_depth(
     chunk: int = 256,
     interpret: Optional[bool] = None,
     visible_capacity: int = 0,
+    tier_capacities: Optional[tuple] = None,
 ) -> jax.Array:
     """Depth image (H, W, 1); -1 where no splat crosses alpha_threshold.
 
@@ -190,7 +194,7 @@ def render_depth(
     feat_g = depth_features(uv, opacity, conic, xyz_cam)
     layout, feat = layout_with_features(
         uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
-        splat_capacity, chunk, visible_capacity,
+        splat_capacity, chunk, visible_capacity, tier_capacities,
     )
     meta = build_step_meta(layout, grid.tile_count, chunk)
     feat = pad_feature_rows(feat)

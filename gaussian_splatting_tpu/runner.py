@@ -67,6 +67,7 @@ class TrainingRunner:
         self._gt_cache = {}
         self._splat_watermark: list = []
         self._visible_watermark: list = []
+        self._tier_watermark: list = []
         self._overflowed = False
         self._truncated_seen = False
         # de-synced metrics: per-step info dicts stay on device and are
@@ -150,44 +151,73 @@ class TrainingRunner:
         return jnp.zeros(3, jnp.float32)
 
     def _rebucket_splat_capacity(self, cfg: SplatConfig) -> SplatConfig:
-        """Right-size the static splat capacity to the observed splat count.
+        """Right-size the static layout capacities to the observed frame.
 
-        Sort/kernel cost scales with the static capacity, not the live splat
-        count, so the runner keeps capacity in the smallest power-of-two
-        bucket holding ~1.6x the recent maximum (jit recompiles on a bucket
-        change, amortised over thousands of steps).  Capacity-fixable
-        overflow (SplatLayout.overflow) grows the bucket immediately, up to
-        config.max_splat_capacity; window truncation (SplatLayout.truncated,
-        a near-fullscreen gaussian) is NOT capacity-fixable and never grows
-        the bucket.
+        Sort/kernel cost scales with the static splat-list width
+        sum(K_i * cap_i), not the live splat count, so the runner keeps the
+        visible-compaction width and every tier's member capacity in the
+        smallest power-of-two bucket holding ~1.5x the recent maximum (jit
+        recompiles on a bucket change, amortised over thousands of steps).
+        Capacity overflow (SplatLayout.overflow) is always fixable by this
+        growth because the layout reports *unclipped* member counts; window
+        truncation (SplatLayout.truncated, a near-fullscreen gaussian) is
+        NOT capacity-fixable and never grows anything.  The total cell
+        budget is clamped to config.max_splat_capacity.
         """
-        if not self._splat_watermark:
+        from gaussian_splatting_tpu.culling import (
+            TIER_CELLS,
+            TIER_FLOORS,
+            capacity_bucket,
+        )
+
+        if not self._visible_watermark:
             return cfg
-        want = int(max(self._splat_watermark) * 1.6) + 1
-        bucket = 1 << max(20, int(np.ceil(np.log2(want))))
-        if self._overflowed:
-            bucket = max(bucket, cfg.splat_capacity * 2)
-        bucket = min(bucket, cfg.max_splat_capacity)
-        if bucket != cfg.splat_capacity:
-            print(f"  splat capacity {cfg.splat_capacity} -> {bucket}")
-            cfg = cfg.replace(splat_capacity=bucket)
 
         # visible-compaction bucket from the observed contributing count
         gauss_cap = int(self.state.alive.shape[0])
         cur_vcap = cfg.visible_capacity or gauss_cap
-        vwant = int(max(self._visible_watermark) * 1.5) + 1
-        vbucket = 1 << max(16, int(np.ceil(np.log2(vwant))))
-        if self._overflowed and max(self._visible_watermark) >= cur_vcap:
-            vbucket = max(vbucket, cur_vcap * 2)
+        vbucket = capacity_bucket(
+            max(self._visible_watermark) * 13 // 10 + 1, 1 << 16
+        )
         vbucket = min(vbucket, gauss_cap)
         if vbucket != cur_vcap:
             print(f"  visible capacity {cur_vcap} -> {vbucket}")
             cfg = cfg.replace(
                 visible_capacity=0 if vbucket >= gauss_cap else vbucket
             )
+
+        # per-tier member-capacity buckets from observed member counts
+        if self._tier_watermark:
+            peak = np.max(np.stack(self._tier_watermark), axis=0)
+            caps = [
+                capacity_bucket(int(p) * 13 // 10 + 1, f)
+                for p, f in zip(peak, TIER_FLOORS)
+            ]
+            # bound total cells (ADVICE r1: growth must be capped); shave
+            # the biggest padded contributor first — truncating it drops
+            # the least real work per cell
+            def total(cs):
+                return sum(k * c for k, c in zip(TIER_CELLS, cs))
+
+            while total(caps) > cfg.max_splat_capacity:
+                i = int(np.argmax(
+                    [k * c for k, c in zip(TIER_CELLS, caps)]
+                ))
+                if caps[i] <= TIER_FLOORS[i]:
+                    break
+                caps[i] //= 2
+            caps = tuple(caps)
+            if caps != cfg.tier_capacities:
+                print(
+                    f"  tier capacities -> {caps} "
+                    f"({total(caps)} cells; peaks {peak.tolist()})"
+                )
+                cfg = cfg.replace(tier_capacities=caps)
+
         self._overflowed = False
         self._splat_watermark.clear()
         self._visible_watermark.clear()
+        self._tier_watermark.clear()
         return cfg
 
     # -- de-synced metrics ----------------------------------------------------
@@ -198,6 +228,8 @@ class TrainingRunner:
         self.metrics.num_gaussians.append(int(info["n_alive"]))
         self._splat_watermark.append(int(info["num_splats"]))
         self._visible_watermark.append(int(info.get("num_visible", 0)))
+        if "tier_members" in info:
+            self._tier_watermark.append(np.asarray(info["tier_members"]))
         self._overflowed |= bool(info["overflow"])
         if bool(info.get("truncated", False)) and not self._truncated_seen:
             self._truncated_seen = True

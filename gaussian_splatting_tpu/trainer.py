@@ -102,17 +102,19 @@ def train_step(
             uv_offset=uv_offset,
             interpret=interpret,
             visible_capacity=config.visible_capacity,
+            tier_capacities=config.tier_capacities,
         )
         loss, psnr = train_loss(res.image, gt_image, config.ssim_frac)
         return loss, (
             psnr, res.visible, res.num_splats, res.num_visible,
-            res.overflow, res.truncated,
+            res.tier_members, res.overflow, res.truncated,
         )
 
     (loss, aux), (gparams, g_uv) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(state.params, uv_zero)
-    psnr, visible, num_splats, num_visible, overflow, truncated = aux
+    (psnr, visible, num_splats, num_visible, tier_members, overflow,
+     truncated) = aux
 
     opt = optim.make_optimizer(config)
     updates, opt_state = opt.update(gparams, state.opt_state, state.params)
@@ -143,7 +145,8 @@ def train_step(
     )
     return state, dict(
         loss=loss, psnr=psnr, num_splats=num_splats,
-        num_visible=num_visible, overflow=overflow, truncated=truncated,
+        num_visible=num_visible, tier_members=tier_members,
+        overflow=overflow, truncated=truncated,
         n_alive=jnp.sum(state.alive.astype(jnp.int32)),
     )
 
@@ -184,6 +187,7 @@ def eval_step(
         chunk=config.chunk,
         interpret=interpret,
         visible_capacity=config.visible_capacity,
+        tier_capacities=config.tier_capacities,
     )
     psnr, ssim_val = eval_psnr_ssim(res.image, gt_image)
     return res.image, psnr, ssim_val

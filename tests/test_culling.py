@@ -103,6 +103,8 @@ def test_layout_step_metadata_consistency(pipeline_outputs):
     starts = np.asarray(layout.tile_starts)
     counts = np.asarray(layout.tile_counts)
     gid = np.asarray(layout.gaussian_idx)
+    s_out = gid.shape[0]  # full-width splat list (sum of tier cells)
+    assert s_out % chunk == 0
     assert starts.shape == (n_tiles + 1,)
     assert np.array_equal(counts, np.diff(starts))
     assert starts[0] == 0 and starts[-1] == int(layout.num_splats)
@@ -113,12 +115,12 @@ def test_layout_step_metadata_consistency(pipeline_outputs):
     step_tile, win_in, win_out, tile_info = [
         np.asarray(x) for x in build_step_meta(layout, n_tiles, chunk)
     ]
-    assert step_tile.shape == (s_cap // chunk + n_tiles,)
-    covered = np.zeros(s_cap, bool)
+    assert step_tile.shape == (s_out // chunk + n_tiles,)
+    covered = np.zeros(s_out, bool)
     for s in range(step_tile.shape[0]):
         t = step_tile[s]
         if t == n_tiles:
-            assert win_out[s] == s_cap // chunk  # dummy output window
+            assert win_out[s] == s_out // chunk  # dummy output window
             continue
         w = win_in[s]
         assert w == win_out[s]
@@ -151,50 +153,109 @@ def test_tilegrid_padding():
     assert grid.tile_count == 8160
 
 
-def test_reduce_rows_by_gid_matches_scatter():
-    """The all-sort reduction used by layout_with_features' VJP must equal
-    the plain scatter-add transpose of the feature expansion."""
-    import numpy as np
+def _random_layout_scene(rng, n, grid_hw=(336, 512), sig_max=4.0):
+    """Random small gaussians spread over a grid_hw image; returns the
+    layout inputs (uv, conic, z, visible, grid)."""
     import jax.numpy as jnp
-    from gaussian_splatting_tpu.culling import reduce_rows_by_gid
+    from gaussian_splatting_tpu.structs import TileGrid
 
-    rng = np.random.default_rng(0)
-    cap, s, r = 37, 512, 5
-    gid = rng.integers(0, cap + 1, s).astype(np.int32)  # cap = dead slot
-    rows = rng.normal(size=(r, s)).astype(np.float32)
-    # NaNs at dead lanes must be ignored (the kernels emit them there)
-    rows[:, gid == cap] = np.nan
+    h, w = grid_hw
+    uv = np.stack(
+        [rng.uniform(0, w, n), rng.uniform(0, h, n)], axis=1
+    ).astype(np.float32)
+    # isotropic conics, radii sized to keep the default tier capacities
+    # comfortable (sub-tile to a few tiles)
+    sig = rng.uniform(1.5, sig_max, n).astype(np.float32)
+    conic = np.stack(
+        [sig**2, np.zeros(n, np.float32), sig**2], axis=1
+    )
+    z = rng.uniform(1.0, 50.0, n).astype(np.float32)
+    visible = np.ones(n, bool)
+    return (
+        jnp.asarray(uv), jnp.asarray(conic), jnp.asarray(z),
+        jnp.asarray(visible), TileGrid(h, w),
+    )
 
-    got = np.asarray(reduce_rows_by_gid(jnp.asarray(rows), jnp.asarray(gid), cap))
-    want = np.zeros((r, cap), np.float32)
-    for i in range(s):
-        if gid[i] < cap:
-            want[:, gid[i]] += rows[:, i]
-    np.testing.assert_allclose(got, want, atol=1e-4)
 
-
-def test_reduce_rows_by_gid_production_scale_one_signed():
-    """Cancellation guard: at millions of splats with one-signed rows (the
-    realistic shape of opacity/loss gradients) a plain f32 running prefix
-    makes adjacent differences cancel to ~ulp(global prefix) — up to ~14%
-    relative error per gaussian (round-1 advisor finding).  The compensated
-    prefix must stay at f32-roundoff-level relative error."""
+def test_feature_grad_reduction_production_scale_one_signed():
+    """Gradient-reduction accuracy guard at production-like scale: with
+    one-signed cotangents (the realistic shape of opacity/loss grads) the
+    per-gaussian sums must stay at f32-roundoff-level relative error
+    regardless of total splat count.  The round-1 running-prefix reduction
+    had cancellation error growing with the *global* splat count (advisor
+    finding); the permutation-inversion reduction only ever adds a
+    gaussian's own terms, like the reference's scatter-add
+    (render_backward.cu:238-282)."""
+    import jax
     import jax.numpy as jnp
-    from gaussian_splatting_tpu.culling import reduce_rows_by_gid
+    from gaussian_splatting_tpu.culling import (
+        build_splat_layout,
+        layout_with_features,
+    )
 
     rng = np.random.default_rng(7)
-    cap, s, r = 1 << 18, 1 << 20, 2
-    gid = rng.integers(0, cap, s).astype(np.int32)
-    rows = rng.uniform(0.1, 1.0, (r, s)).astype(np.float32)  # one-signed
+    n, s_cap, r = 1 << 17, 1 << 21, 2
+    uv, conic, z, visible, grid = _random_layout_scene(rng, n, sig_max=3.0)
+    feat_g = jnp.asarray(rng.uniform(0.1, 1.0, (r, n)).astype(np.float32))
 
-    got = np.asarray(
-        reduce_rows_by_gid(jnp.asarray(rows), jnp.asarray(gid), cap)
+    layout = build_splat_layout(
+        uv, conic, z, visible, grid, 3.0, s_cap, 256
     )
-    want = np.zeros((r, cap), np.float64)
-    np.add.at(want.T, gid, rows.astype(np.float64).T)
-    denom = np.maximum(np.abs(want), 1e-3)
-    rel = np.abs(got - want) / denom
+    assert not bool(layout.overflow)
+    assert int(layout.num_splats) > 400_000  # actually production-like
+    s_out = layout.gaussian_idx.shape[0]
+    cot = jnp.asarray(
+        rng.uniform(0.1, 1.0, (r, s_out)).astype(np.float32)
+    )
+
+    def expand(fg):
+        _, feat = layout_with_features(
+            uv, conic, z, visible, fg, grid, 3.0, s_cap, 256
+        )
+        return jnp.sum(feat * cot)
+
+    got = np.asarray(jax.grad(expand)(feat_g))
+    gid = np.asarray(layout.gaussian_idx)
+    want = np.zeros((r, n), np.float64)
+    keep = gid < n
+    np.add.at(want.T, gid[keep], np.asarray(cot, np.float64).T[keep])
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
     assert rel.max() < 1e-5, rel.max()
+
+
+def test_feature_grad_reduction_ignores_dead_slot_garbage():
+    """Slots past num_splats are never written by the backward kernel, so
+    the reduction must ignore arbitrary garbage (NaN) cotangents there."""
+    import jax
+    import jax.numpy as jnp
+    from gaussian_splatting_tpu.culling import (
+        build_splat_layout,
+        layout_with_features,
+    )
+
+    rng = np.random.default_rng(3)
+    n, s_cap, r = 256, 1 << 12, 3
+    uv, conic, z, visible, grid = _random_layout_scene(rng, n, (96, 128))
+    feat_g = jnp.asarray(rng.normal(size=(r, n)).astype(np.float32))
+
+    layout = build_splat_layout(uv, conic, z, visible, grid, 3.0, s_cap, 256)
+    gid = np.asarray(layout.gaussian_idx)
+    cot = rng.normal(size=(r, gid.shape[0])).astype(np.float32)
+    cot[:, gid >= n] = np.nan
+
+    def expand(fg):
+        _, feat = layout_with_features(
+            uv, conic, z, visible, fg, grid, 3.0, s_cap, 256
+        )
+        return feat
+
+    _, vjp = jax.vjp(expand, feat_g)
+    (got,) = vjp(jnp.asarray(cot))
+    got = np.asarray(got)
+    want = np.zeros((r, n), np.float32)
+    keep = gid < n
+    np.add.at(want.T, gid[keep], cot.T[keep])
+    np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_layout_with_features_grad():
@@ -229,7 +290,14 @@ def test_layout_with_features_grad():
     n = scene.capacity
     rng = np.random.default_rng(1)
     feat_g = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32))
-    cot = jnp.asarray(rng.normal(size=(4, scap)).astype(np.float32))
+
+    layout = build_splat_layout(
+        uv, conic, xyz_cam[:, 2], visible, grid, 3.0,
+        splat_capacity=scap, chunk=256,
+    )
+    gid = np.asarray(layout.gaussian_idx)
+    s_out = gid.shape[0]
+    cot = jnp.asarray(rng.normal(size=(4, s_out)).astype(np.float32))
 
     def expand(fg):
         layout, feat = layout_with_features(
@@ -239,14 +307,9 @@ def test_layout_with_features_grad():
 
     g = np.asarray(jax.grad(expand)(feat_g))
 
-    layout = build_splat_layout(
-        uv, conic, xyz_cam[:, 2], visible, grid, 3.0,
-        splat_capacity=scap, chunk=256,
-    )
-    gid = np.asarray(layout.gaussian_idx)
     want = np.zeros((4, n), np.float32)
     c = np.asarray(cot)
-    for i in range(scap):
+    for i in range(s_out):
         if gid[i] < n:
             want[:, gid[i]] += c[:, i]
     np.testing.assert_allclose(g, want, atol=1e-3)

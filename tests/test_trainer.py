@@ -66,13 +66,39 @@ def test_overflow_step_is_skipped(setup):
     """A capacity-overflowing layout must leave params, Adam state, and the
     densify accumulators untouched (the runner grows the bucket and the
     next step proceeds normally)."""
+    from gaussian_splatting_tpu.culling import TIER_CELLS
+
     state, gt, cam, pose = setup
     params = dict(state.params)
     params["rgb"] = params["rgb"] * 0.5  # make gradients nonzero
     state = state._replace(params=params)
 
-    # splat capacity far below the fixture's ~641 splats forces overflow
-    cfg_tiny = CFG.replace(splat_capacity=256)
+    # floor-level tier capacities (every explicit entry clamps up to
+    # TIER_FLOORS, >= 8 members) are far below the fixture's big-window
+    # gaussians' member count once the scene is tiled: replicate the
+    # 16-slot scene 12x so the 3 visible gaussians become 36 members of
+    # one big tier (floor 8) -> guaranteed overflow
+    reps = 12
+    cap = 16 * reps
+    tiled = {
+        k: jnp.asarray(
+            np.tile(np.asarray(v), (reps,) + (1,) * (np.asarray(v).ndim - 1))
+        )
+        for k, v in state.params.items()
+    }
+    alive = jnp.asarray(np.tile(np.asarray(state.alive), reps))
+    from gaussian_splatting_tpu import optim as _optim
+
+    state = T.TrainState(
+        params=tiled,
+        alive=alive,
+        opt_state=_optim.make_optimizer(CFG).init(tiled),
+        uv_grad_accum=jnp.zeros((cap, 2), jnp.float32),
+        xyz_grad_accum=jnp.zeros((cap, 3), jnp.float32),
+        grad_accum_count=jnp.zeros((cap,), jnp.int32),
+    )
+
+    cfg_tiny = CFG.replace(tier_capacities=(1,) * len(TIER_CELLS))
     before = jax.tree_util.tree_map(jnp.copy, state)
     state2, info = T.train_step(
         jax.tree_util.tree_map(jnp.copy, state), gt, cam.K, pose,

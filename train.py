@@ -36,6 +36,15 @@ def build_parser():
                     f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
                     default=default,
                 )
+            elif default is None or isinstance(default, tuple):
+                # tuple knobs (tier_capacities): comma-separated ints,
+                # empty string = None (derive defaults)
+                p.add_argument(
+                    f"--{f.name}",
+                    type=lambda s: tuple(int(x) for x in s.split(","))
+                    if s else None,
+                    default=default,
+                )
             else:
                 p.add_argument(f"--{f.name}", type=type(default), default=default)
     return parser
@@ -75,6 +84,12 @@ def make_synthetic_scene_data(n_points=20000, n_images=16, seed=0):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import jax
+
+    # the TPU backend's sort compiles are expensive (minutes); persist
+    # them across runs so only the first run of a bucket shape pays
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from gaussian_splatting_tpu.config import SplatConfig
 
     cfg_fields = {f.name for f in dataclasses.fields(SplatConfig)}
