@@ -107,6 +107,10 @@ class SplatConfig:
     tier_capacities: tuple | None = None
     # rasterizer chunk length (splats per grid step)
     chunk: int = 256
+    # rasterizer matmul precision: "f32" (exact, MXU multi-pass) or "bf16"
+    # (single-pass MXU inputs with f32 accumulation, ~4x on the kernels'
+    # compositing matmuls; per-pixel transmittance error ~1e-3 relative)
+    kernel_precision: str = "f32"
     # random seed
     seed: int = 0
     # number of data-parallel devices (cameras per step); 1 = reference

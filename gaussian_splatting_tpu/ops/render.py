@@ -219,6 +219,16 @@ def _mm(a, b, contract):
     )
 
 
+def _mmp(a, b, contract, bf16):
+    """dot_general with optionally bf16-cast inputs (single-pass MXU) and
+    f32 accumulation — the "bf16" kernel_precision mode.  f32 inputs run
+    the MXU in multi-pass mode at ~1/4 throughput."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return _mm(a, b, contract)
+
+
 def _col_to_row(col):
     """(P, 1) -> (1, P) via an MXU identity contraction (cheap, once/tile)."""
     p = col.shape[0]
@@ -245,7 +255,7 @@ def _log_one_minus(at):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
+def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
                 feat_ref, out_ref, t_col, acc):
     s = pl.program_id(0)
     _, first, last, _, lo, hi, tx, ty = _step_scalars(
@@ -267,11 +277,13 @@ def _fwd_kernel(chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
         loma = _log_one_minus(at)
         u_strict, _ = _tri_matrices(chunk, f.dtype)
         # exclusive prefix transmittance within the chunk, times the carry
-        tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+        tpref = t_col[:] * jnp.exp(
+            _mmp(loma, u_strict, (((1,), (0,))), bf16)
+        )
         active = tpref >= cc.T_EPS
         wgt = jnp.where(active, at * tpref, 0.0)  # (256, CHUNK)
         rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
-        acc[0:3, :] += _mm(rgb, wgt, (((1,), (1,))))  # (3, 256)
+        acc[0:3, :] += _mmp(rgb, wgt, (((1,), (1,))), bf16)  # (3, 256)
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
 
     @pl.when(last)
@@ -282,9 +294,11 @@ def _fwd_kernel(chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("n_tiles", "x_tiles", "chunk", "interpret", "bf16"),
 )
-def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
+def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret,
+                bf16=False):
     step_tile, win_in, win_out, tile_info = meta
     n_splats = feat.shape[1]
     g_steps = step_tile.shape[0]
@@ -308,7 +322,7 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk, x_tiles),
+        functools.partial(_fwd_kernel, chunk, x_tiles, bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (cc.OUT_ROWS, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
@@ -327,8 +341,8 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(chunk_len, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
-                feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
+def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
+                info_ref, feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
     s = pl.program_id(0)
     _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
         tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
@@ -350,7 +364,7 @@ def _bwd_kernel(chunk_len, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
 
     loma = _log_one_minus(at)
     u_strict, u_incl = _tri_matrices(chunk, f.dtype)
-    tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+    tpref = t_col[:] * jnp.exp(_mmp(loma, u_strict, (((1,), (0,))), bf16))
     active = tpref >= cc.T_EPS
     mask = active & (at > 0.0)
     wgt = jnp.where(mask, at * tpref, 0.0)
@@ -358,9 +372,9 @@ def _bwd_kernel(chunk_len, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
     g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
     rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
     # A[p, s] = sum_ch g[ch, p] * rgb[ch, s]
-    A = _mm(g, rgb, (((0,), (0,))))  # (256, CHUNK)
+    A = _mmp(g, rgb, (((0,), (0,))), bf16)  # (256, CHUNK)
     cw = A * wgt
-    pg_incl = pg_col[:] + _mm(cw, u_incl, (((1,), (0,))))
+    pg_incl = pg_col[:] + _mmp(cw, u_incl, (((1,), (0,))), bf16)
     # D = sum_ch color_accum * g  (colour behind this splat + background)
     D = e_col[:] - pg_incl
 
@@ -391,7 +405,7 @@ def _bwd_kernel(chunk_len, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
             rowsum(ga_pp),
             rowsum(gb_pp),
             rowsum(gc_pp),
-            _mm(g, w_cl, (((1,), (0,)))),
+            _mmp(g, w_cl, (((1,), (0,))), bf16),
             jnp.zeros(
                 (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
             ),
@@ -411,9 +425,11 @@ def _bwd_kernel(chunk_len, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "x_tiles", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("n_tiles", "x_tiles", "chunk", "interpret", "bf16"),
 )
-def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
+def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
+                bf16=False):
     step_tile, win_in, win_out, tile_info = meta
     n_splats = feat.shape[1]
     g_steps = step_tile.shape[0]
@@ -442,7 +458,7 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk, x_tiles),
+        functools.partial(_bwd_kernel, chunk, x_tiles, bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (cc.GRAD_ROWS, n_splats + chunk), jnp.float32
@@ -478,26 +494,26 @@ def _finish(premul_t, background_rgb, n_tiles, empty_tile):
     return jnp.concatenate([img, T[None, :]], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _render_core(feat, meta, background_rgb, empty_tile, n_tiles, x_tiles,
-                 chunk, interpret):
+                 chunk, interpret, bf16=False):
     raw = _render_fwd(
         feat, meta, n_tiles=n_tiles, x_tiles=x_tiles, chunk=chunk,
-        interpret=interpret,
+        interpret=interpret, bf16=bf16,
     )
     return _finish(raw, background_rgb, n_tiles, empty_tile)
 
 
 def _render_core_fwd(feat, meta, background_rgb, empty_tile, n_tiles,
-                     x_tiles, chunk, interpret):
+                     x_tiles, chunk, interpret, bf16=False):
     out = _render_core(
         feat, meta, background_rgb, empty_tile, n_tiles, x_tiles, chunk,
-        interpret,
+        interpret, bf16,
     )
     return out, (feat, meta, out)
 
 
-def _render_core_bwd(n_tiles, x_tiles, chunk, interpret, res, g_out):
+def _render_core_bwd(n_tiles, x_tiles, chunk, interpret, bf16, res, g_out):
     feat, meta, out = res
     img, T = out[0:3, :], out[3, :]
     g_img, g_t = g_out[0:3, :], g_out[3, :]
@@ -512,7 +528,7 @@ def _render_core_bwd(n_tiles, x_tiles, chunk, interpret, res, g_out):
     gi = jnp.pad(gi, ((0, cc.OUT_ROWS - 4), (0, pad)))
     gfeat = _render_bwd(
         feat, meta, gi, n_tiles=n_tiles, x_tiles=x_tiles, chunk=chunk,
-        interpret=interpret,
+        interpret=interpret, bf16=bf16,
     )
     bg_w = jnp.where(T > cc.BG_T_EPS, T, 0.0)
     g_bg = jnp.sum(g_img * bg_w[None, :], axis=1)
@@ -534,6 +550,7 @@ def render_tiles(
     x_tiles: int,
     chunk: int,
     interpret: bool | None = None,
+    precision: str = "f32",
 ):
     """Rasterize packed splat features into per-tile pixels.
 
@@ -555,6 +572,7 @@ def render_tiles(
         feat, meta, background_rgb,
         jax.lax.stop_gradient(empty_tile),
         n_tiles, x_tiles, chunk, bool(interpret),
+        precision == "bf16",
     )
     img = out[0:3, :].reshape(3, n_tiles, cc.PIXELS_PER_TILE)
     T = out[3, :].reshape(n_tiles, cc.PIXELS_PER_TILE)

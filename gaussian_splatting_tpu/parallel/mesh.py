@@ -52,6 +52,7 @@ def _local_loss(params, alive, uv_offset, gt, K, pose, bg, *, config,
         interpret=interpret,
         visible_capacity=config.visible_capacity,
         tier_capacities=config.tier_capacities,
+        kernel_precision=config.kernel_precision,
     )
     loss, psnr = train_loss(res.image, gt, config.ssim_frac)
     return loss, (

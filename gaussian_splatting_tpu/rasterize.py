@@ -68,6 +68,7 @@ def rasterize(
     interpret: Optional[bool] = None,
     visible_capacity: int = 0,
     tier_capacities: Optional[tuple] = None,
+    kernel_precision: str = "f32",
 ) -> RenderResult:
     """Render the scene from one camera.
 
@@ -141,7 +142,7 @@ def rasterize(
         img_tiles, T = render_tiles(
             feat, meta, background_rgb, layout.tile_has_output,
             n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
-            interpret=interpret,
+            interpret=interpret, precision=kernel_precision,
         )
     image = tiles_to_image(img_tiles, grid)
     return RenderResult(

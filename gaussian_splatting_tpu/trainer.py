@@ -103,6 +103,7 @@ def train_step(
             interpret=interpret,
             visible_capacity=config.visible_capacity,
             tier_capacities=config.tier_capacities,
+            kernel_precision=config.kernel_precision,
         )
         loss, psnr = train_loss(res.image, gt_image, config.ssim_frac)
         return loss, (
@@ -188,6 +189,7 @@ def eval_step(
         interpret=interpret,
         visible_capacity=config.visible_capacity,
         tier_capacities=config.tier_capacities,
+        kernel_precision=config.kernel_precision,
     )
     psnr, ssim_val = eval_psnr_ssim(res.image, gt_image)
     return res.image, psnr, ssim_val

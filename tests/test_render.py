@@ -166,3 +166,43 @@ def test_per_pixel_sh_grads(scene):
         assert np.isfinite(arr).all(), name
         assert np.abs(arr[vis]).sum() > 0, name
         assert np.abs(arr[~vis]).sum() == 0, name
+
+
+def test_bf16_kernel_precision_close_to_f32(scene):
+    """kernel_precision="bf16" runs the compositing matmuls with bf16 MXU
+    inputs (f32 accumulation); images must stay within bf16-roundoff of
+    the f32 path and gradients must stay finite with the same mask."""
+    import jax
+
+    params = scene.params()
+
+    def render(precision):
+        return rasterize(
+            params, scene.alive, fx.test_camera_T_world(), fx.test_camera(),
+            near_thresh=0.3, far_thresh=100.0, cull_mask_padding=10.0,
+            mh_dist=3.0, background_rgb=jnp.zeros(3, jnp.float32),
+            n_sh_band=0, splat_capacity=CAP, chunk=256,
+            kernel_precision=precision,
+        )
+
+    f32 = np.asarray(render("f32").image)
+    b16 = np.asarray(render("bf16").image)
+    assert np.abs(f32 - b16).max() < 2e-2, np.abs(f32 - b16).max()
+
+    def loss(p):
+        res = rasterize(
+            p, scene.alive, fx.test_camera_T_world(), fx.test_camera(),
+            near_thresh=0.3, far_thresh=100.0, cull_mask_padding=10.0,
+            mh_dist=3.0, background_rgb=jnp.zeros(3, jnp.float32),
+            n_sh_band=0, splat_capacity=CAP, chunk=256,
+            kernel_precision="bf16",
+        )
+        return jnp.sum(res.image**2), res.visible
+
+    (_, visible), g = jax.value_and_grad(loss, has_aux=True)(params)
+    vis = np.asarray(visible)
+    for name in ("xyz", "rgb", "opacity", "scale", "quaternion"):
+        arr = np.asarray(g[name])
+        assert np.isfinite(arr).all(), name
+        assert np.abs(arr[vis]).sum() > 0, name
+        assert np.abs(arr[~vis]).sum() == 0, name
