@@ -101,6 +101,25 @@ class SplatLayout(NamedTuple):
     truncated: jax.Array
 
 
+def frustum_visible_rows(
+    u: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    grid_wh: tuple,
+    near_thresh: float,
+    far_thresh: float,
+    cull_mask_padding: float,
+) -> jax.Array:
+    """Visibility mask from (N,) rows; the complement of the reference's
+    culling_mask (splat_py/rasterize.py:33-49).  `far_thresh=inf`
+    reproduces the depth renderer's no-far-cull (splat_py/depth.py:30)."""
+    width, height = grid_wh
+    culled = (z < near_thresh) | (z > far_thresh)
+    culled |= (u < -cull_mask_padding) | (u > width + cull_mask_padding)
+    culled |= (v < -cull_mask_padding) | (v > height + cull_mask_padding)
+    return ~culled
+
+
 def frustum_visible(
     xyz_camera: jax.Array,
     uv: jax.Array,
@@ -109,16 +128,11 @@ def frustum_visible(
     far_thresh: float,
     cull_mask_padding: float,
 ) -> jax.Array:
-    """Visibility mask; the complement of the reference's culling_mask
-    (splat_py/rasterize.py:33-49).  `far_thresh=inf` reproduces the depth
-    renderer's no-far-cull behaviour (splat_py/depth.py:30)."""
-    width, height = grid_wh
-    z = xyz_camera[:, 2]
-    u, v = uv[:, 0], uv[:, 1]
-    culled = (z < near_thresh) | (z > far_thresh)
-    culled |= (u < -cull_mask_padding) | (u > width + cull_mask_padding)
-    culled |= (v < -cull_mask_padding) | (v > height + cull_mask_padding)
-    return ~culled
+    """(N, C)-array wrapper over ``frustum_visible_rows``."""
+    return frustum_visible_rows(
+        uv[:, 0], uv[:, 1], xyz_camera[:, 2], grid_wh,
+        near_thresh, far_thresh, cull_mask_padding,
+    )
 
 
 def _obb_and_radius(u, v, a, b, c, mh_dist):
@@ -364,13 +378,22 @@ def _layout_impl(
        walk the tile-grouped array with lane masks, ops/render
        .build_step_meta), so no chunk-alignment spread pass exists.
     """
-    n = uv.shape[0]
+    # uv / conic accepted as (N, C) arrays (tests, reference-parity API) or
+    # as component tuples (the hot path — avoids minor-dim column pulls)
+    if isinstance(uv, tuple):
+        u, v = uv
+    else:
+        u, v = uv[:, 0], uv[:, 1]
+    if isinstance(conic, tuple):
+        ca, cb, cc = conic
+    else:
+        ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    n = u.shape[0]
     n_tiles = grid.tile_count
     s_cap = splat_capacity
-    u, v = uv[:, 0], uv[:, 1]
-    a = conic[:, 0] + 0.25
-    b = conic[:, 1] * 0.5
-    c = conic[:, 2] + 0.25
+    a = ca + 0.25
+    b = cb * 0.5
+    c = cc + 0.25
 
     # NaN tripwire: the reference hard-exits on non-finite camera xyz
     # (splat_py/tile_culling.py:15-18); here non-finite entries are treated
@@ -732,12 +755,16 @@ def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
         chunk, visible_capacity, tier_capacities,
     )
+    zero_tpl = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        (uv, conic, z_camera, visible),
+    )
     res = (
         layout.gaussian_idx,
         aux["pos_sorted"],
         aux["gid_full"],
         aux["tier_starts"],
-        uv.shape, conic.shape, z_camera.shape, visible.shape,
+        zero_tpl,
         feat_g.shape,
     )
     return (layout, feat), res
@@ -747,8 +774,7 @@ def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
              tier_capacities, res, cot):
     import numpy as np
 
-    gidx, pos_sorted, gid_full, tier_starts, uv_s, conic_s, z_s, vis_s, \
-        feat_s = res
+    gidx, pos_sorted, gid_full, tier_starts, zero_tpl, feat_s = res
     _, feat_cot = cot
     n = feat_s[1]
     m_comp = _compacted_width(n, visible_capacity)
@@ -756,13 +782,14 @@ def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
     g_feat_g = _reduce_splat_grads(
         feat_cot, gidx, pos_sorted, gid_full, tier_starts, caps, m_comp
     )
-    return (
-        jnp.zeros(uv_s, jnp.float32),
-        jnp.zeros(conic_s, jnp.float32),
-        jnp.zeros(z_s, jnp.float32),
-        np.zeros(vis_s, jax.dtypes.float0),
-        g_feat_g,
-    )
+
+    def zero_cot(s):
+        if s.dtype == jnp.bool_:
+            return np.zeros(s.shape, jax.dtypes.float0)
+        return jnp.zeros(s.shape, s.dtype)
+
+    g_uv, g_conic, g_z, g_vis = jax.tree_util.tree_map(zero_cot, zero_tpl)
+    return (g_uv, g_conic, g_z, g_vis, g_feat_g)
 
 
 layout_with_features.defvjp(_lwf_fwd, _lwf_bwd)

@@ -148,6 +148,119 @@ def compute_conic(
     )
 
 
+# ---------------------------------------------------------------------------
+# rows API: component-wise geometry for the training hot path
+# ---------------------------------------------------------------------------
+# On TPU, per-gaussian data in (N, 3) / (N, 3, 3) arrays puts the tiny
+# component axis on the minor (lane) dimension: every batched einsum and
+# column extraction lowers to a strided relayout loop (measured at N=2M:
+# the (N,3,3) sigma einsum costs ~28 ms fwd / ~70 ms fwd+bwd, vs ~7 ms
+# componentwise; a single column extraction ~1.7 ms).  The rows functions
+# keep N on lanes: scalars in, tuples of (N,) rows out, every small matrix
+# product unrolled.  The (N, C) functions above stay as the reference-
+# parity API and test surface; equivalence is pinned in tests/test_geometry
+# .py::test_rows_api_matches_reference_api.
+
+
+def transform_rows(x, y, z, camera_T_world):
+    """World -> camera frame, component-wise: 3x(N,), (4,4) -> 3x(N,)."""
+    R = camera_T_world[:3, :3]
+    t = camera_T_world[:3, 3]
+    xc = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0]
+    yc = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1]
+    zc = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2]
+    return xc, yc, zc
+
+
+def project_rows(xc, yc, zc, K):
+    """Pinhole projection, component-wise: 3x(N,), (3,3) -> (u, v)."""
+    ok = jnp.abs(zc) > 1e-12
+    inv_z = _safe_div(jnp.ones_like(zc), zc, ok)
+    u = K[0, 0] * xc * inv_z + K[0, 2]
+    v = K[1, 1] * yc * inv_z + K[1, 2]
+    return u, v
+
+
+def sigma_world_rows(quaternion: jax.Array, scale: jax.Array):
+    """Sigma = R S S^T R^T as its six upper-triangular components.
+
+    (N,4), (N,3) -> (xx, xy, xz, yy, yz, zz), each (N,).  Same quaternion
+    normalisation and dead-slot guards as ``compute_sigma_world``.
+    """
+    qT = quaternion.T  # (4, N): one relayout instead of four column pulls
+    sT = scale.T
+    sumsq = qT[0] * qT[0] + qT[1] * qT[1] + qT[2] * qT[2] + qT[3] * qT[3]
+    ok = sumsq > 1e-24
+    inv_norm = _safe_div(
+        jnp.ones_like(sumsq), jnp.sqrt(jnp.where(ok, sumsq, 1.0)), ok
+    )
+    # dead/degenerate slots fall back to identity rotation
+    w = jnp.where(ok, qT[0] * inv_norm, 1.0)
+    x = qT[1] * inv_norm
+    y = qT[2] * inv_norm
+    z = qT[3] * inv_norm
+    r00 = 1 - 2 * y * y - 2 * z * z
+    r01 = 2 * x * y - 2 * z * w
+    r02 = 2 * z * x + 2 * w * y
+    r10 = 2 * x * y + 2 * z * w
+    r11 = 1 - 2 * x * x - 2 * z * z
+    r12 = 2 * y * z - 2 * w * x
+    r20 = 2 * z * x - 2 * w * y
+    r21 = 2 * y * z + 2 * w * x
+    r22 = 1 - 2 * x * x - 2 * y * y
+    s0 = jnp.exp(2.0 * sT[0])
+    s1 = jnp.exp(2.0 * sT[1])
+    s2 = jnp.exp(2.0 * sT[2])
+    xx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    xy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    xz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    yy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    yz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    zz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return xx, xy, xz, yy, yz, zz
+
+
+def conic_rows(sig6, xc, yc, zc, K, camera_T_world):
+    """2D conic [a, 2b, c] from Sigma_world components, folding the
+    projection Jacobian in analytically.  No gradient to the camera pose
+    (reference: src/projection_backward.cu:461-464)."""
+    xx, xy, xz, yy, yz, zz = sig6
+    W = jax.lax.stop_gradient(camera_T_world[:3, :3])
+    ok = jnp.abs(zc) > 1e-12
+    inv_z = _safe_div(jnp.ones_like(zc), zc, ok)
+    fx, fy = K[0, 0], K[1, 1]
+    j00 = fx * inv_z
+    j02 = -fx * xc * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * yc * inv_z * inv_z
+    # M = J W  (2x3 per gaussian; W row-indexed [j, k])
+    m00 = j00 * W[0, 0] + j02 * W[2, 0]
+    m01 = j00 * W[0, 1] + j02 * W[2, 1]
+    m02 = j00 * W[0, 2] + j02 * W[2, 2]
+    m10 = j11 * W[1, 0] + j12 * W[2, 0]
+    m11 = j11 * W[1, 1] + j12 * W[2, 1]
+    m12 = j11 * W[1, 2] + j12 * W[2, 2]
+    # t = M Sigma  (Sigma symmetric)
+    t00 = m00 * xx + m01 * xy + m02 * xz
+    t01 = m00 * xy + m01 * yy + m02 * yz
+    t02 = m00 * xz + m01 * yz + m02 * zz
+    t10 = m10 * xx + m11 * xy + m12 * xz
+    t11 = m10 * xy + m11 * yy + m12 * yz
+    t12 = m10 * xz + m11 * yz + m12 * zz
+    c0 = t00 * m00 + t01 * m01 + t02 * m02
+    # the reference sums both off-diagonals (src/projection.cu:253-256)
+    c1 = (t00 * m10 + t01 * m11 + t02 * m12) + (
+        t10 * m00 + t11 * m01 + t12 * m02
+    )
+    c2 = t10 * m10 + t11 * m11 + t12 * m12
+    return c0, c1, c2
+
+
+def camera_distance_rows(xc, yc, zc):
+    """Euclidean camera distance per gaussian (depth renderer feature)."""
+    return jnp.sqrt(xc * xc + yc * yc + zc * zc)
+
+
 def sh_basis(view_dir: jax.Array, n_sh: int) -> jax.Array:
     """Evaluate the real SH basis (bands 0..3) at unit directions.
 

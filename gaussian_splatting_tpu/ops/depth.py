@@ -32,19 +32,20 @@ from gaussian_splatting_tpu.ops.render import (
 FEAT_DEPTH = 6
 
 
+def depth_feature_rows(u, v, opacity_v, c0, c1, c2, dist):
+    """Pack per-gaussian depth-render rows ((N,) each), (7, N)."""
+    return jnp.stack(
+        [u, v, opacity_v, c0 + 0.25, c1 * 0.5, c2 + 0.25, dist]
+    )
+
+
 def depth_features(uv, opacity, conic, xyz_camera):
-    """Pack per-gaussian depth-render inputs, (7, N) data rows."""
-    dist = jnp.linalg.norm(xyz_camera, axis=1)
-    rows = [
-        uv[:, 0],
-        uv[:, 1],
-        opacity[:, 0],
-        conic[:, 0] + 0.25,
-        conic[:, 1] * 0.5,
-        conic[:, 2] + 0.25,
-        dist,
-    ]
-    return jnp.stack(rows)
+    """(N, C)-array wrapper over ``depth_feature_rows``."""
+    return depth_feature_rows(
+        uv[:, 0], uv[:, 1], opacity[:, 0],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        jnp.linalg.norm(xyz_camera, axis=1),
+    )
 
 
 def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,

@@ -132,27 +132,25 @@ def _step_scalars(tile_ref, win_ref, info_ref, s, chunk, x_tiles):
     return tile, first, last, new_window, lo, hi, tx, ty
 
 
-def splat_features(uv, opacity, conic, rgb):
-    """Pack per-gaussian render inputs into a (9, N) row matrix.
+def splat_feature_rows(u, v, opacity_v, c0, c1, c2, r, g, b):
+    """Pack per-gaussian render rows ((N,) each) into the (9, N) feature
+    matrix.  Includes the +0.25 diagonal regularisation and the conic[1]/2
+    halving the CUDA kernels apply inline (src/render.cu:113-121), so the
+    kernels consume a/b/c directly and JAX autodiff chains these affine
+    maps.  Rows are padded to FEAT_ROWS with `pad_feature_rows` after
+    per-splat expansion."""
+    return jnp.stack(
+        [u, v, opacity_v, c0 + 0.25, c1 * 0.5, c2 + 0.25, r, g, b]
+    )
 
-    Differentiable; includes the +0.25 diagonal regularisation and the
-    conic[1]/2 halving the CUDA kernels apply inline
-    (src/render.cu:113-121), so the kernels consume a/b/c directly and
-    JAX autodiff chains these affine maps.  Rows are padded to FEAT_ROWS
-    with `pad_feature_rows` after per-splat expansion.
-    """
-    rows = [
-        uv[:, 0],
-        uv[:, 1],
-        opacity[:, 0],
-        conic[:, 0] + 0.25,
-        conic[:, 1] * 0.5,
-        conic[:, 2] + 0.25,
-        rgb[:, 0],
-        rgb[:, 1],
-        rgb[:, 2],
-    ]
-    return jnp.stack(rows)
+
+def splat_features(uv, opacity, conic, rgb):
+    """(N, C)-array wrapper over ``splat_feature_rows``."""
+    return splat_feature_rows(
+        uv[:, 0], uv[:, 1], opacity[:, 0],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        rgb[:, 0], rgb[:, 1], rgb[:, 2],
+    )
 
 
 def pad_feature_rows(feat, rows: int | None = None):

@@ -56,24 +56,30 @@ def sh_feat_rows(n_sh: int) -> int:
     return SH_BASE_ROWS + 3 * n_sh
 
 
-def sh_splat_features(uv, opacity, conic, coeffs):
-    """Pack per-gaussian SH-render inputs into (6 + 3*n_sh, N) rows.
+def sh_splat_feature_rows(u, v, opacity_v, conic3, coeffs):
+    """Pack per-gaussian SH-render rows into (6 + 3*n_sh, N).
 
+    u/v/opacity_v: (N,) rows; conic3: 3-tuple of (N,) raw conic rows;
     coeffs: (N, 3, n_sh) including the DC coefficient — NOT scaled by SH_0
     (the kernel's basis row 0 carries SH_0, matching sh_to_rgb,
     src/spherical_harmonics.cuh:26-75).
     """
     n_sh = coeffs.shape[2]
-    rows = [
-        uv[:, 0],
-        uv[:, 1],
-        opacity[:, 0],
-        conic[:, 0] + 0.25,
-        conic[:, 1] * 0.5,
-        conic[:, 2] + 0.25,
-    ]
-    rows += [coeffs[:, c, k] for c in range(3) for k in range(n_sh)]
-    return jnp.stack(rows)
+    c0, c1, c2 = conic3
+    base = jnp.stack(
+        [u, v, opacity_v, c0 + 0.25, c1 * 0.5, c2 + 0.25]
+    )
+    # one (N,3,k)->(3k,N) relayout instead of 3*n_sh strided column pulls
+    coeffsT = jnp.transpose(coeffs, (1, 2, 0)).reshape(3 * n_sh, -1)
+    return jnp.concatenate([base, coeffsT])
+
+
+def sh_splat_features(uv, opacity, conic, coeffs):
+    """(N, C)-array wrapper over ``sh_splat_feature_rows``."""
+    return sh_splat_feature_rows(
+        uv[:, 0], uv[:, 1], opacity[:, 0],
+        (conic[:, 0], conic[:, 1], conic[:, 2]), coeffs,
+    )
 
 
 def _sh_color_rows(n_sh):

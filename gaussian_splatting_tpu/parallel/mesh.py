@@ -99,7 +99,7 @@ def dp_train_step(
         check_vma=False,
     )
     def sharded(state, gt, K, pose, bg):
-        uv_zero = jnp.zeros((cap, 2), jnp.float32)
+        uv_zero = jnp.zeros((2, cap), jnp.float32)
         grad_fn = jax.value_and_grad(
             functools.partial(
                 _local_loss, config=config, camera_hw=camera_hw,
@@ -141,7 +141,7 @@ def dp_train_step(
         # densify stats: per-device accumulation summed over cameras,
         # matching the reference's per-view accumulation semantics
         fxfy = jnp.stack([K[0, 0, 0], K[0, 1, 1]])
-        uv_grad = jnp.abs(g_uv * fxfy[None, :]) * visible[:, None]
+        uv_grad = (jnp.abs(g_uv) * fxfy[:, None] * visible[None, :]).T
         uv_grad = jax.lax.psum(uv_grad, "data")
         # gparams is already pmean-reduced (replicated) — no second psum
         xyz_grad = jnp.abs(gparams["xyz"])

@@ -17,17 +17,20 @@ import jax.numpy as jnp
 
 from gaussian_splatting_tpu import geometry as geo
 from gaussian_splatting_tpu.culling import (
-    frustum_visible,
+    frustum_visible_rows,
     layout_with_features,
 )
 from gaussian_splatting_tpu.ops import common as cc
-from gaussian_splatting_tpu.ops.depth import depth_features, render_depth_tiles
+from gaussian_splatting_tpu.ops.depth import (
+    depth_feature_rows,
+    render_depth_tiles,
+)
 from gaussian_splatting_tpu.ops import render_sh as rsh
 from gaussian_splatting_tpu.ops.render import (
     build_step_meta,
     pad_feature_rows,
     render_tiles,
-    splat_features,
+    splat_feature_rows,
 )
 from gaussian_splatting_tpu.ops.reference_impl import tiles_to_image
 from gaussian_splatting_tpu.structs import Camera, TileGrid
@@ -73,29 +76,34 @@ def rasterize(
     """Render the scene from one camera.
 
     params: dict of capacity-sized parameter arrays (GaussianScene.params()).
-    uv_offset: optional (N, 2) zeros; gradients wrt it are the uv-space
+    uv_offset: optional (2, N) zero rows; gradients wrt it are the uv-space
       gradients the trainer accumulates for densification (replacing the
       reference's ``uv.retain_grad()``, splat_py/trainer.py:360).
     """
     xyz = params["xyz"]
     grid = TileGrid(camera.height, camera.width)
 
-    xyz_cam = geo.transform_points(xyz, camera_T_world)
-    uv = geo.project_points(xyz_cam, camera.K)
+    # component-wise ("rows") geometry chain: keeps N on the TPU lane dim
+    # throughout — (N, C) intermediates with C in {2, 3} lower to strided
+    # relayout loops that dominated the round-2 profile (see geometry.py
+    # rows API note)
+    xyzT = xyz.T  # (3, N)
+    xc, yc, zc = geo.transform_rows(xyzT[0], xyzT[1], xyzT[2], camera_T_world)
+    u, v = geo.project_rows(xc, yc, zc, camera.K)
     if uv_offset is not None:
-        uv = uv + uv_offset
-    visible = frustum_visible(
-        xyz_cam, uv, (camera.width, camera.height),
+        u = u + uv_offset[0]
+        v = v + uv_offset[1]
+    visible = frustum_visible_rows(
+        u, v, zc, (camera.width, camera.height),
         near_thresh, far_thresh, cull_mask_padding,
     )
     visible = visible & alive
 
-    sigma_world = geo.compute_sigma_world(params["quaternion"], params["scale"])
-    J = geo.compute_projection_jacobian(xyz_cam, camera.K)
-    conic = geo.compute_conic(sigma_world, J, camera_T_world)
+    sig6 = geo.sigma_world_rows(params["quaternion"], params["scale"])
+    conic3 = geo.conic_rows(sig6, xc, yc, zc, camera.K, camera_T_world)
 
     n_sh = _active_sh_coeffs(n_sh_band)
-    opacity = jax.nn.sigmoid(params["opacity"])
+    opacity_v = jax.nn.sigmoid(params["opacity"][:, 0])
     per_pixel_sh = n_sh > 1 and not use_sh_precompute
     if per_pixel_sh:
         # per-pixel SH: carry the raw 3 x n_sh coefficients; the kernel
@@ -104,26 +112,29 @@ def rasterize(
         coeffs = jnp.concatenate(
             [params["rgb"][:, :, None], params["sh"][:, :, : n_sh - 1]], axis=2
         )
-        feat_g = rsh.sh_splat_features(uv, opacity, conic, coeffs)
+        feat_g = rsh.sh_splat_feature_rows(u, v, opacity_v, conic3, coeffs)
         feat_rows = rsh._pad8(rsh.sh_feat_rows(n_sh))
     else:
         if n_sh == 1:
-            render_rgb = params["rgb"]
+            rgbT = params["rgb"].T
         else:
             coeffs = jnp.concatenate(
                 [params["rgb"][:, :, None], params["sh"][:, :, : n_sh - 1]],
                 axis=2,
             )
             center = geo.camera_center_from_pose(camera_T_world)
-            render_rgb = geo.precompute_rgb_from_sh(coeffs, xyz, center)
+            rgbT = geo.precompute_rgb_from_sh(coeffs, xyz, center).T
         # the DC-path rasterizer scales colour by SH_0 (src/render.cu
         # sh_to_rgb with N_SH=1); fold it into the features so the kernel
         # stays linear
-        feat_g = splat_features(uv, opacity, conic, render_rgb * geo.SH_0)
+        feat_g = splat_feature_rows(
+            u, v, opacity_v, *conic3,
+            rgbT[0] * geo.SH_0, rgbT[1] * geo.SH_0, rgbT[2] * geo.SH_0,
+        )
         feat_rows = cc.FEAT_ROWS
 
     layout, feat = layout_with_features(
-        uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
+        (u, v), conic3, zc, visible, feat_g, grid, mh_dist,
         splat_capacity, chunk, visible_capacity, tier_capacities,
     )
     meta = build_step_meta(layout, grid.tile_count, chunk)
@@ -148,7 +159,7 @@ def rasterize(
     return RenderResult(
         image=image,
         visible=visible,
-        uv=uv,
+        uv=jnp.stack([u, v], axis=1),
         transmittance=T,
         num_splats=layout.num_splats,
         num_visible=layout.num_visible,
@@ -179,22 +190,26 @@ def render_depth(
     Mirrors splat_py/depth.py:17-88 (note: no far-plane cull there).
     """
     grid = TileGrid(camera.height, camera.width)
-    xyz_cam = geo.transform_points(params["xyz"], camera_T_world)
-    uv = geo.project_points(xyz_cam, camera.K)
-    visible = frustum_visible(
-        xyz_cam, uv, (camera.width, camera.height),
+    xyzT = params["xyz"].T
+    xc, yc, zc = geo.transform_rows(
+        xyzT[0], xyzT[1], xyzT[2], camera_T_world
+    )
+    u, v = geo.project_rows(xc, yc, zc, camera.K)
+    visible = frustum_visible_rows(
+        u, v, zc, (camera.width, camera.height),
         near_thresh, jnp.inf, cull_mask_padding,
     )
     visible = visible & alive
 
-    sigma_world = geo.compute_sigma_world(params["quaternion"], params["scale"])
-    J = geo.compute_projection_jacobian(xyz_cam, camera.K)
-    conic = geo.compute_conic(sigma_world, J, camera_T_world)
+    sig6 = geo.sigma_world_rows(params["quaternion"], params["scale"])
+    conic3 = geo.conic_rows(sig6, xc, yc, zc, camera.K, camera_T_world)
 
-    opacity = jax.nn.sigmoid(params["opacity"])
-    feat_g = depth_features(uv, opacity, conic, xyz_cam)
+    opacity_v = jax.nn.sigmoid(params["opacity"][:, 0])
+    feat_g = depth_feature_rows(
+        u, v, opacity_v, *conic3, geo.camera_distance_rows(xc, yc, zc)
+    )
     layout, feat = layout_with_features(
-        uv, conic, xyz_cam[:, 2], visible, feat_g, grid, mh_dist,
+        (u, v), conic3, zc, visible, feat_g, grid, mh_dist,
         splat_capacity, chunk, visible_capacity, tier_capacities,
     )
     meta = build_step_meta(layout, grid.tile_count, chunk)

@@ -85,7 +85,7 @@ def train_step(
     h, w = camera_hw
     camera = Camera(K=camera_K, width=w, height=h)
     cap = state.alive.shape[0]
-    uv_zero = jnp.zeros((cap, 2), jnp.float32)
+    uv_zero = jnp.zeros((2, cap), jnp.float32)
 
     def loss_fn(params, uv_offset):
         res = rasterize(
@@ -134,7 +134,9 @@ def train_step(
     # densification statistics (trainer.py:377-385): uv grads scaled to
     # world-consistent units by fx/fy, abs-accumulated over visible views
     fxfy = jnp.stack([camera_K[0, 0], camera_K[1, 1]])
-    uv_grad = jnp.abs(g_uv * fxfy[None, :]) * visible[:, None]
+    # g_uv arrives as (2, N) rows; the accumulator keeps the reference's
+    # (N, 2) orientation (one relayout per step, outside the hot chain)
+    uv_grad = (jnp.abs(g_uv) * fxfy[:, None] * visible[None, :]).T
     okf = ok.astype(jnp.float32)
     state = state._replace(
         params=params,

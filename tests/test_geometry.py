@@ -163,3 +163,65 @@ def test_sh_basis_band0_matches_constant():
     b = geo.sh_basis(d, 16)
     assert b.shape == (1, 16)
     np.testing.assert_allclose(float(b[0, 0]), geo.SH_0, rtol=1e-6)
+
+
+def test_rows_api_matches_reference_api():
+    """The component-wise ("rows") geometry used by the training hot path
+    must agree with the (N, C) reference-parity functions that carry the
+    golden values: transform/project/sigma/conic."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussian_splatting_tpu import geometry as geo
+    from tests import fixtures as fx
+
+    scene = fx.test_scene(opacity_presigmoid=True)
+    pose = fx.test_camera_T_world()
+    cam = fx.test_camera()
+    rng = np.random.default_rng(0)
+    # extend the fixture with random gaussians incl. a dead (zero) quat
+    n = 64
+    xyz = jnp.concatenate(
+        [scene.xyz, jnp.asarray(rng.normal(0, 3, (n, 3)), jnp.float32)]
+    )
+    quat = jnp.concatenate(
+        [scene.quaternion, jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)]
+    )
+    quat = quat.at[-1].set(0.0)  # dead slot -> identity fallback
+    scale = jnp.concatenate(
+        [scene.scale, jnp.asarray(rng.normal(0, 0.5, (n, 3)), jnp.float32)]
+    )
+
+    xyz_cam = geo.transform_points(xyz, pose)
+    xyzT = xyz.T
+    xc, yc, zc = geo.transform_rows(xyzT[0], xyzT[1], xyzT[2], pose)
+    np.testing.assert_allclose(
+        np.stack([xc, yc, zc], 1), np.asarray(xyz_cam), rtol=1e-6, atol=1e-5
+    )
+
+    uv = geo.project_points(xyz_cam, cam.K)
+    u, v = geo.project_rows(xc, yc, zc, cam.K)
+    np.testing.assert_allclose(
+        np.stack([u, v], 1), np.asarray(uv), rtol=1e-5, atol=1e-4
+    )
+
+    sigma = geo.compute_sigma_world(quat, scale)
+    sig6 = geo.sigma_world_rows(quat, scale)
+    want6 = [sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
+             sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]]
+    for got, want in zip(sig6, want6):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
+        )
+
+    J = geo.compute_projection_jacobian(xyz_cam, cam.K)
+    conic = geo.compute_conic(sigma, J, pose)
+    c0, c1, c2 = geo.conic_rows(sig6, xc, yc, zc, cam.K, pose)
+    np.testing.assert_allclose(
+        np.stack([c0, c1, c2], 1), np.asarray(conic), rtol=2e-4, atol=1e-4
+    )
+
+    dist = geo.camera_distance_rows(xc, yc, zc)
+    np.testing.assert_allclose(
+        np.asarray(dist), np.linalg.norm(np.asarray(xyz_cam), axis=1),
+        rtol=1e-6, atol=1e-5,
+    )

@@ -77,7 +77,7 @@ def test_dp_step_equals_mean_of_per_camera_grads(setup):
             has_aux=True,
         )
     )
-    uv_zero = jnp.zeros((cap, 2), jnp.float32)
+    uv_zero = jnp.zeros((2, cap), jnp.float32)
     gsum, uv_abs_sum, seen_sum, losses = None, 0.0, 0, []
     for d in range(D):
         (loss, aux), (gp, guv) = grad_fn(
@@ -91,9 +91,9 @@ def test_dp_step_equals_mean_of_per_camera_grads(setup):
             lambda a, b: a + b, gsum, gp
         )
         fxfy = jnp.stack([Ks[d][0, 0], Ks[d][1, 1]])
-        uv_abs_sum = uv_abs_sum + jnp.abs(guv * fxfy[None, :]) * (
-            visible[:, None]
-        )
+        uv_abs_sum = uv_abs_sum + (
+            jnp.abs(guv) * fxfy[:, None] * visible[None, :]
+        ).T
         seen_sum = seen_sum + visible.astype(jnp.int32)
     gmean = jax.tree_util.tree_map(lambda a: a / D, gsum)
 
