@@ -657,6 +657,51 @@ def build_splat_layout(
     return layout
 
 
+def _pack2_bf16(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Two f32 rows -> one i32 row of packed bf16 halves (a low, b high)."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return (ah | (bh << 16)).astype(jnp.int32)
+
+
+def _unpack2_bf16(p: jax.Array):
+    """Inverse of _pack2_bf16: one i32 row -> two f32 rows."""
+    pu = p.astype(jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (pu & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (pu >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return a, b
+
+
+def _pack_rows(rows, bf16: bool):
+    """List of (S,) f32 rows -> sort value operands (pairs packed to i32
+    when bf16; identity otherwise)."""
+    if not bf16:
+        return list(rows)
+    out = []
+    for i in range(0, len(rows), 2):
+        b = rows[i + 1] if i + 1 < len(rows) else jnp.zeros_like(rows[i])
+        out.append(_pack2_bf16(rows[i], b))
+    return out
+
+
+def _unpack_rows(packed, r: int, bf16: bool):
+    if not bf16:
+        return list(packed)
+    rows = []
+    for p in packed:
+        a, b = _unpack2_bf16(p)
+        rows += [a, b]
+    return rows[:r]
+
+
 def _reduce_splat_grads(
     feat_cot: jax.Array,
     gidx: jax.Array,
@@ -665,6 +710,7 @@ def _reduce_splat_grads(
     tier_starts,
     caps,
     m_comp: int,
+    bf16: bool = False,
 ) -> jax.Array:
     """VJP of the per-splat feature expansion: (R, S) splat-slot gradient
     rows -> (R, n) per-gaussian sums, with no scatter (a ~100ms/M-index
@@ -686,6 +732,12 @@ def _reduce_splat_grads(
          add tier segments onto the compacted columns they were sliced from;
       3. UNDO the compaction sort: sort the per-column sums by the carried
          compaction permutation ``gid_full`` back to original gaussian order.
+
+    With ``bf16`` (kernel_precision="bf16"), gradient rows ride the two
+    permutation sorts as bf16 PAIRS packed into i32 operands — half the
+    sort operands — and are unpacked to f32 for the dense reductions.
+    Each value is rounded to bf16 twice (once per sort), a ~0.4% relative
+    noise consistent with the bf16 kernel matmuls that produced it.
     """
     r, s_cap = feat_cot.shape
     c_cand = pos_sorted.shape[0]
@@ -700,10 +752,10 @@ def _reduce_splat_grads(
     else:
         g = g[:, :c_cand]
     inv = jax.lax.sort(
-        tuple([pos_sorted] + [g[i] for i in range(r)]),
+        tuple([pos_sorted] + _pack_rows([g[i] for i in range(r)], bf16)),
         num_keys=1, is_stable=False,
     )
-    cells = inv[1:]
+    cells = _unpack_rows(inv[1:], r, bf16)
 
     acc = jnp.zeros((r, m_comp), feat_cot.dtype)
     off = 0
@@ -721,16 +773,20 @@ def _reduce_splat_grads(
 
     accn = jnp.pad(acc, ((0, 0), (0, n - m_comp)))
     out = jax.lax.sort(
-        tuple([gid_full] + [accn[i] for i in range(r)]),
+        tuple(
+            [gid_full] + _pack_rows([accn[i] for i in range(r)], bf16)
+        ),
         num_keys=1, is_stable=False,
     )
-    return jnp.stack(out[1:])
+    return jnp.stack(_unpack_rows(out[1:], r, bf16))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+)
 def layout_with_features(
     uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-    chunk, visible_capacity=0, tier_capacities=None,
+    chunk, visible_capacity=0, tier_capacities=None, precision="f32",
 ):
     """(layout, feat): tile assignment + per-splat feature expansion.
 
@@ -750,7 +806,7 @@ def layout_with_features(
 
 def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
              splat_capacity, chunk, visible_capacity=0,
-             tier_capacities=None):
+             tier_capacities=None, precision="f32"):
     layout, feat, aux = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
         chunk, visible_capacity, tier_capacities,
@@ -771,7 +827,7 @@ def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
 
 
 def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
-             tier_capacities, res, cot):
+             tier_capacities, precision, res, cot):
     import numpy as np
 
     gidx, pos_sorted, gid_full, tier_starts, zero_tpl, feat_s = res
@@ -780,7 +836,8 @@ def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
     m_comp = _compacted_width(n, visible_capacity)
     caps = _tier_capacities(m_comp, splat_capacity, tier_capacities)
     g_feat_g = _reduce_splat_grads(
-        feat_cot, gidx, pos_sorted, gid_full, tier_starts, caps, m_comp
+        feat_cot, gidx, pos_sorted, gid_full, tier_starts, caps, m_comp,
+        bf16=precision == "bf16",
     )
 
     def zero_cot(s):

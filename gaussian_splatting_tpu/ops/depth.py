@@ -62,7 +62,10 @@ def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,
         depth_col[:] = jnp.full_like(depth_col, -1.0)
         found_col[:] = jnp.zeros_like(found_col)
 
-    @pl.when(hi > lo)
+    # early exit once every pixel has found its depth (ops/render.py)
+    done = jnp.min(found_col[:]) > 0.5
+
+    @pl.when((hi > lo) & ~done)
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]

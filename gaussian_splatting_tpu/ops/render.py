@@ -265,7 +265,14 @@ def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
         t_col[:] = jnp.ones_like(t_col)
         acc[:] = jnp.zeros_like(acc)
 
-    @pl.when(hi > lo)
+    # chunk-level early exit: once every pixel of the tile is saturated
+    # (T < T_EPS) the remaining splats contribute exactly zero (the
+    # `active` mask below already zeroes them), so skip their math
+    # entirely — the analogue of the reference's per-pixel loop break
+    # (src/render.cu:106)
+    saturated = jnp.max(t_col[:]) < cc.T_EPS
+
+    @pl.when((hi > lo) & ~saturated)
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
@@ -352,74 +359,92 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         pg_col[:] = jnp.zeros_like(pg_col)
         e_col[:] = _row_to_col(gi_ref[3:4, :])
 
-    f = feat_ref[:]
-    chunk = f.shape[1]
-    upix, vpix = _pixel_coords(tx, ty, f.dtype)
-    t = _alpha_terms(f, upix, vpix, lo, hi)
-    at, prob, op = t["at"], t["prob"], t["op"]
-    du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
-    a, b, c = t["a"], t["b"], t["c"]
+    # chunk-level early exit (see _fwd_kernel): fully-saturated tiles give
+    # every remaining splat zero gradient, so only the zero-write of the
+    # output block remains
+    saturated = jnp.max(t_col[:]) < cc.T_EPS
 
-    loma = _log_one_minus(at)
-    u_strict, u_incl = _tri_matrices(chunk, f.dtype)
-    tpref = t_col[:] * jnp.exp(_mmp(loma, u_strict, (((1,), (0,))), bf16))
-    active = tpref >= cc.T_EPS
-    mask = active & (at > 0.0)
-    wgt = jnp.where(mask, at * tpref, 0.0)
+    @pl.when(~saturated)
+    def _():
+        f = feat_ref[:]
+        chunk = f.shape[1]
+        upix, vpix = _pixel_coords(tx, ty, f.dtype)
+        t = _alpha_terms(f, upix, vpix, lo, hi)
+        at, prob, op = t["at"], t["prob"], t["op"]
+        du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
+        a, b, c = t["a"], t["b"], t["c"]
 
-    g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
-    rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
-    # A[p, s] = sum_ch g[ch, p] * rgb[ch, s]
-    A = _mmp(g, rgb, (((0,), (0,))), bf16)  # (256, CHUNK)
-    cw = A * wgt
-    pg_incl = pg_col[:] + _mmp(cw, u_incl, (((1,), (0,))), bf16)
-    # D = sum_ch color_accum * g  (colour behind this splat + background)
-    D = e_col[:] - pg_incl
+        loma = _log_one_minus(at)
+        u_strict, u_incl = _tri_matrices(chunk, f.dtype)
+        tpref = t_col[:] * jnp.exp(
+            _mmp(loma, u_strict, (((1,), (0,))), bf16)
+        )
+        active = tpref >= cc.T_EPS
+        mask = active & (at > 0.0)
+        wgt = jnp.where(mask, at * tpref, 0.0)
 
-    alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
-    roma = 1.0 / (1.0 - alpha_cl)
-    galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
+        g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
+        rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
+        # A[p, s] = sum_ch g[ch, p] * rgb[ch, s]
+        A = _mmp(g, rgb, (((0,), (0,))), bf16)  # (256, CHUNK)
+        cw = A * wgt
+        pg_incl = pg_col[:] + _mmp(cw, u_incl, (((1,), (0,))), bf16)
+        # D = sum_ch color_accum * g  (colour behind this splat + background)
+        D = e_col[:] - pg_incl
 
-    gop_pp = prob * galpha
-    gm = -0.5 * prob * op * galpha  # grad wrt mh_sq
-    common = mh * rdet
-    gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
-    gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
-    ga_pp = (-c * common + dv * dv * rdet) * gm
-    gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
-    gc_pp = (-a * common + du * du * rdet) * gm
+        alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
+        roma = 1.0 / (1.0 - alpha_cl)
+        galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
 
-    def rowsum(x):
-        return jnp.sum(x, axis=0, keepdims=True)
+        gop_pp = prob * galpha
+        gm = -0.5 * prob * op * galpha  # grad wrt mh_sq
+        common = mh * rdet
+        gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
+        gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
+        ga_pp = (-c * common + dv * dv * rdet) * gm
+        gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
+        gc_pp = (-a * common + du * du * rdet) * gm
 
-    # grad rgb: the reference uses the clamped alpha here
-    # (render_backward.cu:193-196)
-    w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
-    gblock = jnp.concatenate(
-        [
-            rowsum(gu_pp),
-            rowsum(gv_pp),
-            rowsum(gop_pp),
-            rowsum(ga_pp),
-            rowsum(gb_pp),
-            rowsum(gc_pp),
-            _mmp(g, w_cl, (((1,), (0,))), bf16),
-            jnp.zeros(
-                (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
-            ),
-        ],
-        axis=0,
-    )
-    # a boundary window is visited by two consecutive steps (one per tile)
-    # with complementary lane ranges: the first visit zero-fills the other
-    # lanes, the second merges with the resident block (consecutive steps
-    # share the same output block, so it is still in VMEM)
-    prev = jnp.where(new_window, 0.0, gout_ref[:])
-    gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
+        def rowsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)
 
-    # carries
-    t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
-    pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+        # grad rgb: the reference uses the clamped alpha here
+        # (render_backward.cu:193-196)
+        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
+        gblock = jnp.concatenate(
+            [
+                rowsum(gu_pp),
+                rowsum(gv_pp),
+                rowsum(gop_pp),
+                rowsum(ga_pp),
+                rowsum(gb_pp),
+                rowsum(gc_pp),
+                _mmp(g, w_cl, (((1,), (0,))), bf16),
+                jnp.zeros(
+                    (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
+                ),
+            ],
+            axis=0,
+        )
+        # a boundary window is visited by two consecutive steps (one per
+        # tile) with complementary lane ranges: the first visit zero-fills
+        # the other lanes, the second merges with the resident block
+        # (consecutive steps share the same output block, so it is still
+        # in VMEM)
+        prev = jnp.where(new_window, 0.0, gout_ref[:])
+        gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
+
+        # carries
+        t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+        pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+
+    @pl.when(saturated)
+    def _():
+        chunk = gout_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        in_range = (lane >= lo) & (lane < hi)
+        prev = jnp.where(new_window, 0.0, gout_ref[:])
+        gout_ref[:] = jnp.where(in_range, 0.0, prev)
 
 
 @functools.partial(

@@ -98,7 +98,10 @@ def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
         t_col[:] = jnp.ones_like(t_col)
         acc[:] = jnp.zeros_like(acc)
 
-    @pl.when(hi > lo)
+    # chunk-level early exit once every pixel saturates (ops/render.py)
+    saturated = jnp.max(t_col[:]) < cc.T_EPS
+
+    @pl.when((hi > lo) & ~saturated)
     def _():
         f = feat_ref[:]
         chunk_len = f.shape[1]
@@ -185,73 +188,86 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         pg_col[:] = jnp.zeros_like(pg_col)
         e_col[:] = _row_to_col(gi_ref[3:4, :])
 
-    f = feat_ref[:]
-    chunk = f.shape[1]
-    upix, vpix = _pixel_coords(tx, ty, f.dtype)
-    t = _alpha_terms(f, upix, vpix, lo, hi)
-    at, prob, op = t["at"], t["prob"], t["op"]
-    du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
-    a, b, c = t["a"], t["b"], t["c"]
+    # chunk-level early exit once every pixel saturates (ops/render.py)
+    saturated = jnp.max(t_col[:]) < cc.T_EPS
 
-    loma = _log_one_minus(at)
-    u_strict, u_incl = _tri_matrices(chunk, f.dtype)
-    tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
-    active = tpref >= cc.T_EPS
-    mask = active & (at > 0.0)
-    wgt = jnp.where(mask, at * tpref, 0.0)
+    @pl.when(~saturated)
+    def _():
+        f = feat_ref[:]
+        chunk = f.shape[1]
+        upix, vpix = _pixel_coords(tx, ty, f.dtype)
+        t = _alpha_terms(f, upix, vpix, lo, hi)
+        at, prob, op = t["at"], t["prob"], t["op"]
+        du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
+        a, b, c = t["a"], t["b"], t["c"]
 
-    g = gi_ref[0:3, :]  # (3, 256)
-    basis = basis_ref[0:n_sh, :]  # (n_sh, 256)
-    gb = jnp.concatenate(
-        [g[ch : ch + 1, :] * basis for ch in range(3)], axis=0
-    )  # (3*n_sh, 256)
-    clo_, chi_ = _sh_color_rows(n_sh)
-    coeff = f[clo_:chi_, :]  # (3*n_sh, CHUNK)
-    # A[p, s] = sum_ck gb[ck, p] * coeff[ck, s]
-    A = _mm(gb, coeff, (((0,), (0,))))  # (256, CHUNK)
-    cw = A * wgt
-    pg_incl = pg_col[:] + _mm(cw, u_incl, (((1,), (0,))))
-    D = e_col[:] - pg_incl
+        loma = _log_one_minus(at)
+        u_strict, u_incl = _tri_matrices(chunk, f.dtype)
+        tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+        active = tpref >= cc.T_EPS
+        mask = active & (at > 0.0)
+        wgt = jnp.where(mask, at * tpref, 0.0)
 
-    alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
-    roma = 1.0 / (1.0 - alpha_cl)
-    galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
+        g = gi_ref[0:3, :]  # (3, 256)
+        basis = basis_ref[0:n_sh, :]  # (n_sh, 256)
+        gb = jnp.concatenate(
+            [g[ch : ch + 1, :] * basis for ch in range(3)], axis=0
+        )  # (3*n_sh, 256)
+        clo_, chi_ = _sh_color_rows(n_sh)
+        coeff = f[clo_:chi_, :]  # (3*n_sh, CHUNK)
+        # A[p, s] = sum_ck gb[ck, p] * coeff[ck, s]
+        A = _mm(gb, coeff, (((0,), (0,))))  # (256, CHUNK)
+        cw = A * wgt
+        pg_incl = pg_col[:] + _mm(cw, u_incl, (((1,), (0,))))
+        D = e_col[:] - pg_incl
 
-    gop_pp = prob * galpha
-    gm = -0.5 * prob * op * galpha
-    common = mh * rdet
-    gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
-    gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
-    ga_pp = (-c * common + dv * dv * rdet) * gm
-    gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
-    gc_pp = (-a * common + du * du * rdet) * gm
+        alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
+        roma = 1.0 / (1.0 - alpha_cl)
+        galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
 
-    def rowsum(x):
-        return jnp.sum(x, axis=0, keepdims=True)
+        gop_pp = prob * galpha
+        gm = -0.5 * prob * op * galpha
+        common = mh * rdet
+        gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
+        gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
+        ga_pp = (-c * common + dv * dv * rdet) * gm
+        gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
+        gc_pp = (-a * common + du * du * rdet) * gm
 
-    # grad wrt SH coefficients (clamped alpha, like the DC rgb grad)
-    w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
-    clo, chi = _sh_color_rows(n_sh)
-    feat_rows = gout_ref.shape[0]
-    gblock = jnp.concatenate(
-        [
-            rowsum(gu_pp),
-            rowsum(gv_pp),
-            rowsum(gop_pp),
-            rowsum(ga_pp),
-            rowsum(gb_pp),
-            rowsum(gc_pp),
-            _mm(gb, w_cl, (((1,), (0,)))),
-            jnp.zeros((feat_rows - chi, chunk), jnp.float32),
-        ],
-        axis=0,
-    )
-    # boundary windows merge with the resident block (see ops/render.py)
-    prev = jnp.where(new_window, 0.0, gout_ref[:])
-    gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
+        def rowsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)
 
-    t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
-    pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+        # grad wrt SH coefficients (clamped alpha, like the DC rgb grad)
+        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
+        clo, chi = _sh_color_rows(n_sh)
+        feat_rows = gout_ref.shape[0]
+        gblock = jnp.concatenate(
+            [
+                rowsum(gu_pp),
+                rowsum(gv_pp),
+                rowsum(gop_pp),
+                rowsum(ga_pp),
+                rowsum(gb_pp),
+                rowsum(gc_pp),
+                _mm(gb, w_cl, (((1,), (0,)))),
+                jnp.zeros((feat_rows - chi, chunk), jnp.float32),
+            ],
+            axis=0,
+        )
+        # boundary windows merge with the resident block (see ops/render.py)
+        prev = jnp.where(new_window, 0.0, gout_ref[:])
+        gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
+
+        t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+        pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+
+    @pl.when(saturated)
+    def _():
+        chunk = gout_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        in_range = (lane >= lo) & (lane < hi)
+        prev = jnp.where(new_window, 0.0, gout_ref[:])
+        gout_ref[:] = jnp.where(in_range, 0.0, prev)
 
 
 @functools.partial(

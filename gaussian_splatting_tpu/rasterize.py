@@ -136,6 +136,7 @@ def rasterize(
     layout, feat = layout_with_features(
         (u, v), conic3, zc, visible, feat_g, grid, mh_dist,
         splat_capacity, chunk, visible_capacity, tier_capacities,
+        kernel_precision,
     )
     meta = build_step_meta(layout, grid.tile_count, chunk)
     feat = pad_feature_rows(feat, feat_rows)
