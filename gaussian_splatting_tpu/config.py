@@ -107,9 +107,10 @@ class SplatConfig:
     tier_capacities: tuple | None = None
     # rasterizer chunk length (splats per grid step)
     chunk: int = 256
-    # rasterizer matmul precision: "f32" (exact, MXU multi-pass) or "bf16"
-    # (single-pass MXU inputs with f32 accumulation, ~4x on the kernels'
-    # compositing matmuls; per-pixel transmittance error ~1e-3 relative)
+    # reduced-precision mode: "f32" (exact) or "bf16" (gradient rows ride
+    # the reduction sorts as packed bf16 pairs — half the sort operands,
+    # ~0.4% relative gradient noise).  The rasterizer kernels themselves
+    # always run f32 (bf16 MXU casts measured net-negative on v5e).
     kernel_precision: str = "f32"
     # random seed
     seed: int = 0

@@ -50,7 +50,7 @@ def depth_features(uv, opacity, conic, xyz_camera):
 
 def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,
                   wout_ref, info_ref, feat_ref, out_ref, t_col, depth_col,
-                  found_col):
+                  found_col, done_ref):
     s = pl.program_id(0)
     _, first, last, _, lo, hi, tx, ty = _step_scalars(
         tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
@@ -61,11 +61,10 @@ def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,
         t_col[:] = jnp.ones_like(t_col)
         depth_col[:] = jnp.full_like(depth_col, -1.0)
         found_col[:] = jnp.zeros_like(found_col)
+        done_ref[0] = 0
 
     # early exit once every pixel has found its depth (ops/render.py)
-    done = jnp.min(found_col[:]) > 0.5
-
-    @pl.when((hi > lo) & ~done)
+    @pl.when((hi > lo) & (done_ref[0] == 0))
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
@@ -93,6 +92,7 @@ def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,
             found_col[:], has_hit.astype(found_col.dtype)
         )
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+        done_ref[0] = (jnp.min(found_col[:]) > 0.5).astype(jnp.int32)
 
     @pl.when(last)
     def _():
@@ -135,6 +135,7 @@ def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(

@@ -254,7 +254,7 @@ def _log_one_minus(at):
 
 
 def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
-                feat_ref, out_ref, t_col, acc):
+                feat_ref, out_ref, t_col, acc, sat_ref):
     s = pl.program_id(0)
     _, first, last, _, lo, hi, tx, ty = _step_scalars(
         tile_ref, win_ref, info_ref, s, chunk, x_tiles
@@ -264,15 +264,15 @@ def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
     def _():
         t_col[:] = jnp.ones_like(t_col)
         acc[:] = jnp.zeros_like(acc)
+        sat_ref[0] = 0
 
     # chunk-level early exit: once every pixel of the tile is saturated
     # (T < T_EPS) the remaining splats contribute exactly zero (the
     # `active` mask below already zeroes them), so skip their math
     # entirely — the analogue of the reference's per-pixel loop break
-    # (src/render.cu:106)
-    saturated = jnp.max(t_col[:]) < cc.T_EPS
-
-    @pl.when((hi > lo) & ~saturated)
+    # (src/render.cu:106).  The flag lives in SMEM, set at the end of a
+    # body run, so the per-step gate is a scalar read.
+    @pl.when((hi > lo) & (sat_ref[0] == 0))
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
@@ -290,6 +290,7 @@ def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
         rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
         acc[0:3, :] += _mmp(rgb, wgt, (((1,), (1,))), bf16)  # (3, 256)
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+        sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
     @pl.when(last)
     def _():
@@ -324,6 +325,7 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret,
         scratch_shapes=[
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.OUT_ROWS, cc.PIXELS_PER_TILE), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -347,7 +349,8 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret,
 
 
 def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
-                info_ref, feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col):
+                info_ref, feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col,
+                sat_ref):
     s = pl.program_id(0)
     _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
         tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
@@ -358,11 +361,12 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         t_col[:] = jnp.ones_like(t_col)
         pg_col[:] = jnp.zeros_like(pg_col)
         e_col[:] = _row_to_col(gi_ref[3:4, :])
+        sat_ref[0] = 0
 
     # chunk-level early exit (see _fwd_kernel): fully-saturated tiles give
     # every remaining splat zero gradient, so only the zero-write of the
     # output block remains
-    saturated = jnp.max(t_col[:]) < cc.T_EPS
+    saturated = sat_ref[0] == 1
 
     @pl.when(~saturated)
     def _():
@@ -437,6 +441,7 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         # carries
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
         pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+        sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
     @pl.when(saturated)
     def _():
@@ -478,6 +483,7 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     out = pl.pallas_call(

@@ -87,7 +87,7 @@ def _sh_color_rows(n_sh):
 
 
 def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
-                feat_ref, basis_ref, out_ref, t_col, acc):
+                feat_ref, basis_ref, out_ref, t_col, acc, sat_ref):
     s = pl.program_id(0)
     _, first, last, _, lo, hi, tx, ty = _step_scalars(
         tile_ref, win_ref, info_ref, s, chunk, x_tiles
@@ -97,11 +97,10 @@ def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
     def _():
         t_col[:] = jnp.ones_like(t_col)
         acc[:] = jnp.zeros_like(acc)
+        sat_ref[0] = 0
 
     # chunk-level early exit once every pixel saturates (ops/render.py)
-    saturated = jnp.max(t_col[:]) < cc.T_EPS
-
-    @pl.when((hi > lo) & ~saturated)
+    @pl.when((hi > lo) & (sat_ref[0] == 0))
     def _():
         f = feat_ref[:]
         chunk_len = f.shape[1]
@@ -122,6 +121,7 @@ def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
                 m[c * n_sh : (c + 1) * n_sh, :] * basis, axis=0, keepdims=True
             )
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
+        sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
     @pl.when(last)
     def _():
@@ -162,6 +162,7 @@ def _render_fwd(feat, basis, meta, *, n_sh, n_tiles, x_tiles, chunk,
         scratch_shapes=[
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.OUT_ROWS, cc.PIXELS_PER_TILE), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -176,7 +177,7 @@ def _render_fwd(feat, basis, meta, *, n_sh, n_tiles, x_tiles, chunk,
 
 def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
                 info_ref, feat_ref, basis_ref, gi_ref, gout_ref, t_col,
-                pg_col, e_col):
+                pg_col, e_col, sat_ref):
     s = pl.program_id(0)
     _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
         tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
@@ -187,9 +188,10 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         t_col[:] = jnp.ones_like(t_col)
         pg_col[:] = jnp.zeros_like(pg_col)
         e_col[:] = _row_to_col(gi_ref[3:4, :])
+        sat_ref[0] = 0
 
     # chunk-level early exit once every pixel saturates (ops/render.py)
-    saturated = jnp.max(t_col[:]) < cc.T_EPS
+    saturated = sat_ref[0] == 1
 
     @pl.when(~saturated)
     def _():
@@ -260,6 +262,7 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
 
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
         pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
+        sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
     @pl.when(saturated)
     def _():
@@ -308,6 +311,7 @@ def _render_bwd(feat, basis, meta, gi, *, n_sh, n_tiles, x_tiles, chunk,
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
             pltpu.VMEM((cc.PIXELS_PER_TILE, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     out = pl.pallas_call(

@@ -151,10 +151,15 @@ def rasterize(
             chunk=chunk, interpret=interpret,
         )
     else:
+        # NOTE: the kernels always run f32 matmuls — casting their MXU
+        # inputs to bf16 measured net-NEGATIVE on v5e (the kernels are
+        # bound by VPU elementwise math, and the casts add passes);
+        # kernel_precision="bf16" instead packs the gradient-reduction
+        # sort operands (see culling._reduce_splat_grads)
         img_tiles, T = render_tiles(
             feat, meta, background_rgb, layout.tile_has_output,
             n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
-            interpret=interpret, precision=kernel_precision,
+            interpret=interpret,
         )
     image = tiles_to_image(img_tiles, grid)
     return RenderResult(
