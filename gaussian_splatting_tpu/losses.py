@@ -49,12 +49,21 @@ def _band_matrix(n: int, size: int, sigma: float):
 def _filter2d(img: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
     """Separable gaussian filter with reflect padding as two dense banded
     matmuls (rows, then columns) so the work runs on the MXU instead of a
-    slow depthwise-conv lowering.  img: (H, W, C)."""
+    slow depthwise-conv lowering.  img: (H, W, C).
+
+    Precision NOTE: these matmuls MUST be f32-exact.  The TPU default
+    (bf16 MXU inputs) puts ~1e-2 noise on each filter output; the variance
+    estimates E[x^2] - mu^2 then go negative past SSIM's c2 = 9e-4
+    stabiliser, the denominator crosses zero, and the loss explodes to
+    -inf on perfectly clean images (observed after ~500 training steps).
+    The matmuls are ~1 GFLOP — exactness costs well under a millisecond.
+    """
     h, w = img.shape[0], img.shape[1]
     bh = jnp.asarray(_band_matrix(h, size, sigma), img.dtype)
     bw = jnp.asarray(_band_matrix(w, size, sigma), img.dtype)
-    y = jnp.einsum("hk,kwc->hwc", bh, img)
-    return jnp.einsum("wk,hkc->hwc", bw, y)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("hk,kwc->hwc", bh, img, precision=hp)
+    return jnp.einsum("wk,hkc->hwc", bw, y, precision=hp)
 
 
 def ssim(

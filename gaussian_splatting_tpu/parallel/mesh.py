@@ -128,8 +128,11 @@ def dp_train_step(
             gparams, state.opt_state, state.params
         )
         # skip the whole step when any device's layout overflowed its
-        # capacity (same semantics as trainer.train_step)
-        ok = ~overflow
+        # capacity or any gradient is non-finite (same semantics as
+        # trainer.train_step)
+        ok = ~overflow & jnp.isfinite(loss)
+        for g in jax.tree_util.tree_leaves(gparams):
+            ok &= jnp.isfinite(jnp.sum(g))
         params = jax.tree_util.tree_map(
             lambda p, u: jnp.where(ok, p + u, p), state.params, updates
         )
@@ -147,12 +150,13 @@ def dp_train_step(
         xyz_grad = jnp.abs(gparams["xyz"])
         seen = jax.lax.psum(visible.astype(jnp.int32), "data")
 
-        okf = ok.astype(jnp.float32)
+        # multiply-by-zero does NOT mask NaNs; select does
         new_state = state._replace(
             params=params,
             opt_state=opt_state,
-            uv_grad_accum=state.uv_grad_accum + uv_grad * okf,
-            xyz_grad_accum=state.xyz_grad_accum + xyz_grad * okf,
+            uv_grad_accum=state.uv_grad_accum + jnp.where(ok, uv_grad, 0.0),
+            xyz_grad_accum=state.xyz_grad_accum
+            + jnp.where(ok, xyz_grad, 0.0),
             grad_accum_count=state.grad_accum_count
             + seen * ok.astype(jnp.int32),
         )

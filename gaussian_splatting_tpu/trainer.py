@@ -123,7 +123,12 @@ def train_step(
     # wrong gradients for this frame: skip the whole optimisation step (the
     # runner grows the splat bucket before the next one).  The reference
     # instead hard-caps tiles per gaussian (splat_py/tile_culling.py:20).
-    ok = ~overflow
+    # A non-finite loss/gradient frame is likewise skipped outright — the
+    # guard costs one reduction and stops a single bad frame from
+    # NaN-poisoning the whole scene.
+    ok = ~overflow & jnp.isfinite(loss)
+    for g in jax.tree_util.tree_leaves(gparams):
+        ok &= jnp.isfinite(jnp.sum(g))
     params = jax.tree_util.tree_map(
         lambda p, u: jnp.where(ok, p + u, p), state.params, updates
     )
@@ -138,11 +143,14 @@ def train_step(
     # (N, 2) orientation (one relayout per step, outside the hot chain)
     uv_grad = (jnp.abs(g_uv) * fxfy[:, None] * visible[None, :]).T
     okf = ok.astype(jnp.float32)
+    # multiply-by-zero does NOT mask NaNs; select does
     state = state._replace(
         params=params,
         opt_state=opt_state,
-        uv_grad_accum=state.uv_grad_accum + uv_grad * okf,
-        xyz_grad_accum=state.xyz_grad_accum + jnp.abs(gparams["xyz"]) * okf,
+        uv_grad_accum=state.uv_grad_accum
+        + jnp.where(ok, uv_grad, 0.0),
+        xyz_grad_accum=state.xyz_grad_accum
+        + jnp.where(ok, jnp.abs(gparams["xyz"]), 0.0),
         grad_accum_count=state.grad_accum_count
         + visible.astype(jnp.int32) * ok.astype(jnp.int32),
     )
