@@ -26,14 +26,6 @@ from gaussian_splatting_tpu.dataio import colmap
 from gaussian_splatting_tpu.geometry import SH_0
 from gaussian_splatting_tpu.structs import GaussianScene
 
-try:  # the native C++ KNN is optional; scipy is the fallback
-    from gaussian_splatting_tpu.dataio import native_ext  # type: ignore
-
-    _HAVE_NATIVE = True
-except Exception:  # pragma: no cover
-    _HAVE_NATIVE = False
-
-
 @dataclasses.dataclass
 class CameraInfo:
     K: np.ndarray  # (3, 3) f32
@@ -71,9 +63,10 @@ def knn_mean_distance(points: np.ndarray, k: int) -> np.ndarray:
     NOTE parity detail: the reference queries KDTree with k=num_neighbors
     which INCLUDES the point itself at distance 0 (utils.py:30-33), so its
     'mean of 3 neighbours' is actually mean(0, d1, d2).  We replicate that.
+    The reference also uses scipy's KDTree (one slow python query per
+    point, utils.py:25-36); the single batched query here is the same
+    C tree with none of the per-point overhead.
     """
-    if _HAVE_NATIVE:
-        return native_ext.knn_mean_distance(points.astype(np.float32), k)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(points)
