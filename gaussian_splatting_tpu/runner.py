@@ -186,11 +186,14 @@ class TrainingRunner:
                 visible_capacity=0 if vbucket >= gauss_cap else vbucket
             )
 
-        # per-tier member-capacity buckets from observed member counts
+        # per-tier member-capacity buckets from observed member counts;
+        # the +64 additive headroom absorbs view-to-view variance on the
+        # sparse big tiers (a tier overflow drops its smallest members
+        # from the frame)
         if self._tier_watermark:
             peak = np.max(np.stack(self._tier_watermark), axis=0)
             caps = [
-                capacity_bucket(int(p) * 13 // 10 + 1, f)
+                capacity_bucket(int(p) * 13 // 10 + 64, f)
                 for p, f in zip(peak, TIER_FLOORS)
             ]
             # bound total cells (ADVICE r1: growth must be capped); shave
@@ -291,8 +294,17 @@ class TrainingRunner:
 
             self.state = replicate_state(self.state, self.mesh)
 
+    def _eval_config(self) -> SplatConfig:
+        """Evals render with the un-bucketed default capacities: the train
+        buckets track TRAIN-view watermarks and can lag the scene during
+        ADC growth, and a tier overflowing in an eval view silently drops
+        its largest gaussians from the RENDER (train steps only skip their
+        update).  Defaults are generous, and eval is rare — one compile
+        per SH band, amortised by the persistent cache."""
+        return self.config.replace(tier_capacities=None, visible_capacity=0)
+
     def evaluate(self, save_images=False, iteration=0):
-        cfg = self.config
+        cfg = self._eval_config()
         psnrs, ssims = [], []
         band = T.sh_band_for_iteration(cfg, iteration)
         for idx in self.test_split:
@@ -328,7 +340,7 @@ class TrainingRunner:
         img, _, _ = T.eval_step(
             self.state, jnp.asarray(self.gt_image(idx)),
             jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
-            config=self.config, camera_hw=(cam.height, cam.width),
+            config=self._eval_config(), camera_hw=(cam.height, cam.width),
             n_sh_band=T.sh_band_for_iteration(self.config, i),
         )
         self._save_image(np.asarray(img), f"debug_iter{i}.png")

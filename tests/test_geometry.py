@@ -109,8 +109,10 @@ def test_transform_points_roundtrip():
     pts = jnp.arange(1.0, 10.0, dtype=jnp.float32).reshape(3, 3)
     q = jnp.array([[0.0, math.sqrt(2) / 2, 0.0, math.sqrt(2) / 2]])
     T = jnp.eye(4, dtype=jnp.float32)
-    T = T.at[:3, :3].set(geo.quaternion_to_rotation(q)[0])
-    T = T.at[:3, 3].set(jnp.array([1.0, 2.0, 3.0]))
+    T = T.at[:3, :3].set(
+        geo.quaternion_to_rotation(q)[0].astype(jnp.float32)
+    )
+    T = T.at[:3, 3].set(jnp.array([1.0, 2.0, 3.0], jnp.float32))
     out = geo.transform_points(pts, T)
     expected = np.array([[4.0, 0, 4], [7, -3, 7], [10, -6, 10]])
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)

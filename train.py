@@ -50,7 +50,11 @@ def build_parser():
     return parser
 
 
-def make_synthetic_scene_data(n_points=20000, n_images=16, seed=0):
+def make_synthetic_scene_data(n_points=20000, n_images=48, seed=0):
+    # 48 ring views (7.5 degrees apart, 6 held out for test): with only 16
+    # views the trainer overfits hard — train PSNR ~38 while the 22.5
+    # degrees-away test views collapse — which measures the benchmark's
+    # view sparsity, not the framework
     """A camera ring around a colourful box of points; gt images are
     rendered from a denser gaussian set so training has a real target."""
     from gaussian_splatting_tpu.dataio.dataset import SceneData, CameraInfo, ImageInfo
