@@ -22,7 +22,6 @@ from gaussian_splatting_tpu.ops.render import (
     _alpha_terms,
     _col_to_row,
     _log_one_minus,
-    _pixel_coords,
     _step_scalars,
     _tri_matrices,
     default_interpret,
@@ -68,8 +67,7 @@ def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi)
         # the depth walk uses the raw alpha (no 1/255 skip): zero only the
         # out-of-range lanes
         at = jnp.where(t["in_range"], t["alpha"], 0.0)

@@ -166,27 +166,49 @@ def pad_feature_rows(feat, rows: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _pixel_coords(tx, ty, dtype):
-    """(256, 1) u and v pixel-centre coordinates for tile (tx, ty)."""
+def _pixel_local_coords(dtype):
+    """(256, 1) tile-LOCAL pixel-centre coordinates (0..15 each axis).
+
+    The kernels work in tile-local coordinates: per-splat centres are
+    shifted by the tile origin (a row op) instead of building global pixel
+    coordinates.  du/dv then subtract ~16-scale numbers instead of
+    ~1000-scale ones, which both removes ~7 bits of cancellation loss and
+    lets the backward reduce gradients with a small-magnitude polynomial
+    pixel basis (see _bwd_kernel)."""
     p = jax.lax.broadcasted_iota(jnp.int32, (cc.PIXELS_PER_TILE, 1), 0)
-    u = (tx * TILE_PX + p % TILE_PX).astype(dtype)
-    v = (ty * TILE_PX + p // TILE_PX).astype(dtype)
-    return u, v
+    # centred on the tile (±7.5) so the backward's pixel-moment basis keeps
+    # the smallest possible magnitudes (least cancellation in the central-
+    # moment expansion)
+    half = dtype.type((TILE_PX - 1) / 2)
+    return (
+        (p % TILE_PX).astype(dtype) - half,
+        (p // TILE_PX).astype(dtype) - half,
+    )
 
 
-def _alpha_terms(f, upix, vpix, lo, hi):
+def _alpha_terms(f, tx, ty, lo, hi):
     """Per splat-pixel alpha math shared by fwd/bwd.  f: (FEAT_ROWS, CHUNK);
-    only lanes in [lo, hi) belong to the current tile."""
+    only lanes in [lo, hi) belong to the current tile (tx, ty)."""
     chunk = f.shape[1]
-    u = f[cc.FEAT_U : cc.FEAT_U + 1, :]
-    v = f[cc.FEAT_V : cc.FEAT_V + 1, :]
+    up, vp = _pixel_local_coords(f.dtype)
+    # per-splat centres relative to the tile CENTRE (row ops; the pixel
+    # coords are centred the same way)
+    half = f.dtype.type((TILE_PX - 1) / 2)
+    ul = (
+        f[cc.FEAT_U : cc.FEAT_U + 1, :]
+        - (tx * TILE_PX).astype(f.dtype) - half
+    )
+    vl = (
+        f[cc.FEAT_V : cc.FEAT_V + 1, :]
+        - (ty * TILE_PX).astype(f.dtype) - half
+    )
     op = f[cc.FEAT_OPACITY : cc.FEAT_OPACITY + 1, :]
     a = f[cc.FEAT_A : cc.FEAT_A + 1, :]
     b = f[cc.FEAT_B : cc.FEAT_B + 1, :]
     c = f[cc.FEAT_C : cc.FEAT_C + 1, :]
 
-    du = upix - u  # (256, CHUNK)
-    dv = vpix - v
+    du = up - ul  # (256, CHUNK)
+    dv = vp - vl
     det = a * c - b * b
     rdet = 1.0 / det
     mh = (c * du * du - 2.0 * b * du * dv + a * dv * dv) * rdet
@@ -198,7 +220,8 @@ def _alpha_terms(f, upix, vpix, lo, hi):
     at = jnp.where((alpha >= cc.ALPHA_SKIP) & in_range, alpha, 0.0)
     return dict(
         du=du, dv=dv, det=det, rdet=rdet, mh=mh, prob=prob, alpha=alpha,
-        at=at, op=op, a=a, b=b, c=c, in_range=in_range,
+        at=at, op=op, a=a, b=b, c=c, in_range=in_range, ul=ul, vl=vl,
+        up=up, vp=vp,
     )
 
 
@@ -276,8 +299,7 @@ def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi)
         at = t["at"]
         loma = _log_one_minus(at)
         u_strict, _ = _tri_matrices(chunk, f.dtype)
@@ -372,14 +394,14 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi)
         at, prob, op = t["at"], t["prob"], t["op"]
-        du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
+        rdet = t["rdet"]
         a, b, c = t["a"], t["b"], t["c"]
+        ul, vl, up, vp = t["ul"], t["vl"], t["up"], t["vp"]
 
         loma = _log_one_minus(at)
-        u_strict, u_incl = _tri_matrices(chunk, f.dtype)
+        u_strict, _ = _tri_matrices(chunk, f.dtype)
         tpref = t_col[:] * jnp.exp(
             _mmp(loma, u_strict, (((1,), (0,))), bf16)
         )
@@ -392,7 +414,8 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         # A[p, s] = sum_ch g[ch, p] * rgb[ch, s]
         A = _mmp(g, rgb, (((0,), (0,))), bf16)  # (256, CHUNK)
         cw = A * wgt
-        pg_incl = pg_col[:] + _mmp(cw, u_incl, (((1,), (0,))), bf16)
+        # inclusive prefix = strict prefix + cw (one matmul serves both)
+        pg_incl = pg_col[:] + _mmp(cw, u_strict, (((1,), (0,))), bf16) + cw
         # D = sum_ch color_accum * g  (colour behind this splat + background)
         D = e_col[:] - pg_incl
 
@@ -400,29 +423,48 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         roma = 1.0 / (1.0 - alpha_cl)
         galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
 
-        gop_pp = prob * galpha
-        gm = -0.5 * prob * op * galpha  # grad wrt mh_sq
-        common = mh * rdet
-        gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
-        gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
-        ga_pp = (-c * common + dv * dv * rdet) * gm
-        gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
-        gc_pp = (-a * common + du * du * rdet) * gm
-
-        def rowsum(x):
-            return jnp.sum(x, axis=0, keepdims=True)
+        # q = dL/d(mh) per splat-pixel.  Every per-splat gradient row is a
+        # pixel sum of q times a polynomial in (du, dv) with per-splat
+        # coefficients, and du = up - ul separates into per-pixel and
+        # per-splat parts — so ALL six gradient rows reduce through ONE
+        # (6, 256) @ (256, CHUNK) moment matmul against the fixed basis
+        # {1, up, vp, up^2, vp^2, up*vp}, followed by (1, CHUNK) row
+        # algebra.  This replaces five full (256, CHUNK) gradient fields
+        # and six vector reductions of the round-2 kernel (the CUDA
+        # analogue reduces with warp shuffles, render_backward.cu:238-282).
+        q = -0.5 * prob * op * galpha
+        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
+        basis = jnp.concatenate(
+            [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
+        )  # (256, 6)
+        T6 = _mmp(basis, q, (((0,), (0,))), bf16)  # (6, CHUNK) raw moments
+        m1, su, sv = T6[0:1, :], T6[1:2, :], T6[2:3, :]
+        suu, svv, suv = T6[3:4, :], T6[4:5, :], T6[5:6, :]
+        # central moments about the splat centre (tile-local, so the
+        # shift terms stay O(16)-scale and lose no precision)
+        mu = su - ul * m1
+        mv = sv - vl * m1
+        muu = suu - ul * (2.0 * su - ul * m1)
+        mvv = svv - vl * (2.0 * sv - vl * m1)
+        muv = suv - ul * sv - vl * (su - ul * m1)
+        smh = rdet * (c * muu - 2.0 * b * muv + a * mvv)  # sum mh*q
+        gu_row = -2.0 * rdet * (c * mu - b * mv)
+        gv_row = -2.0 * rdet * (a * mv - b * mu)
+        gop_row = -2.0 * m1 / jnp.maximum(op, 1e-30)
+        ga_row = rdet * (mvv - c * smh)
+        gb_row = 2.0 * rdet * (b * smh - muv)
+        gc_row = rdet * (muu - a * smh)
 
         # grad rgb: the reference uses the clamped alpha here
         # (render_backward.cu:193-196)
-        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
         gblock = jnp.concatenate(
             [
-                rowsum(gu_pp),
-                rowsum(gv_pp),
-                rowsum(gop_pp),
-                rowsum(ga_pp),
-                rowsum(gb_pp),
-                rowsum(gc_pp),
+                gu_row,
+                gv_row,
+                gop_row,
+                ga_row,
+                gb_row,
+                gc_row,
                 _mmp(g, w_cl, (((1,), (0,))), bf16),
                 jnp.zeros(
                     (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
@@ -550,7 +592,12 @@ def _render_core_bwd(n_tiles, x_tiles, chunk, interpret, bf16, res, g_out):
     # term of grad_alpha.  color_total includes the background blend —
     # this reproduces the reference's color_accum initialisation
     # (render_backward.cu:171-181) — and the g_T*T term makes the exposed
-    # transmittance output honestly differentiable (the reference drops it).
+    # transmittance output differentiable (the reference drops it).
+    # CAVEAT (ADVICE r2): under the chunk-level saturation early-exit the
+    # forward's t_col stops updating, so T holds a stale (but correctly
+    # < T_EPS = 1e-4) value for saturated pixels; background blending and
+    # the T_EPS-masked gradients are unaffected, but T — and hence this
+    # VJP — is only approximately exact below T_EPS.
     e_row = jnp.sum(img * g_img, axis=0) + g_t * T
     pad = (n_tiles + 1) * cc.PIXELS_PER_TILE - e_row.shape[0]
     gi = jnp.concatenate([g_img, e_row[None, :]], axis=0)

@@ -37,7 +37,6 @@ from gaussian_splatting_tpu.ops.render import (
     _col_to_row,
     _log_one_minus,
     _mm,
-    _pixel_coords,
     _row_to_col,
     _step_scalars,
     _tri_matrices,
@@ -104,8 +103,7 @@ def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
     def _():
         f = feat_ref[:]
         chunk_len = f.shape[1]
-        upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi)
         at = t["at"]
         loma = _log_one_minus(at)
         u_strict, _ = _tri_matrices(chunk_len, f.dtype)
@@ -197,14 +195,14 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        upix, vpix = _pixel_coords(tx, ty, f.dtype)
-        t = _alpha_terms(f, upix, vpix, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi)
         at, prob, op = t["at"], t["prob"], t["op"]
-        du, dv, rdet, mh = t["du"], t["dv"], t["rdet"], t["mh"]
+        rdet = t["rdet"]
         a, b, c = t["a"], t["b"], t["c"]
+        ul, vl, up, vp = t["ul"], t["vl"], t["up"], t["vp"]
 
         loma = _log_one_minus(at)
-        u_strict, u_incl = _tri_matrices(chunk, f.dtype)
+        u_strict, _ = _tri_matrices(chunk, f.dtype)
         tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
         active = tpref >= cc.T_EPS
         mask = active & (at > 0.0)
@@ -220,37 +218,48 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         # A[p, s] = sum_ck gb[ck, p] * coeff[ck, s]
         A = _mm(gb, coeff, (((0,), (0,))))  # (256, CHUNK)
         cw = A * wgt
-        pg_incl = pg_col[:] + _mm(cw, u_incl, (((1,), (0,))))
+        pg_incl = pg_col[:] + _mm(cw, u_strict, (((1,), (0,)))) + cw
         D = e_col[:] - pg_incl
 
         alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
         roma = 1.0 / (1.0 - alpha_cl)
         galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
 
-        gop_pp = prob * galpha
-        gm = -0.5 * prob * op * galpha
-        common = mh * rdet
-        gu_pp = -(2.0 * c * du - 2.0 * b * dv) * rdet * gm
-        gv_pp = -(2.0 * a * dv - 2.0 * b * du) * rdet * gm
-        ga_pp = (-c * common + dv * dv * rdet) * gm
-        gb_pp = (2.0 * b * common - 2.0 * du * dv * rdet) * gm
-        gc_pp = (-a * common + du * du * rdet) * gm
-
-        def rowsum(x):
-            return jnp.sum(x, axis=0, keepdims=True)
+        # basis-moment gradient reduction (see ops/render._bwd_kernel): one
+        # (6, 256) @ (256, CHUNK) matmul + row algebra replaces five full
+        # gradient fields and six vector reductions
+        q = -0.5 * prob * op * galpha
+        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
+        pbasis = jnp.concatenate(
+            [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
+        )  # (256, 6)
+        T6 = _mm(pbasis, q, (((0,), (0,))))  # (6, CHUNK)
+        m1, su, sv = T6[0:1, :], T6[1:2, :], T6[2:3, :]
+        suu, svv, suv = T6[3:4, :], T6[4:5, :], T6[5:6, :]
+        mu = su - ul * m1
+        mv = sv - vl * m1
+        muu = suu - ul * (2.0 * su - ul * m1)
+        mvv = svv - vl * (2.0 * sv - vl * m1)
+        muv = suv - ul * sv - vl * (su - ul * m1)
+        smh = rdet * (c * muu - 2.0 * b * muv + a * mvv)
+        gu_row = -2.0 * rdet * (c * mu - b * mv)
+        gv_row = -2.0 * rdet * (a * mv - b * mu)
+        gop_row = -2.0 * m1 / jnp.maximum(op, 1e-30)
+        ga_row = rdet * (mvv - c * smh)
+        gb_row = 2.0 * rdet * (b * smh - muv)
+        gc_row = rdet * (muu - a * smh)
 
         # grad wrt SH coefficients (clamped alpha, like the DC rgb grad)
-        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
         clo, chi = _sh_color_rows(n_sh)
         feat_rows = gout_ref.shape[0]
         gblock = jnp.concatenate(
             [
-                rowsum(gu_pp),
-                rowsum(gv_pp),
-                rowsum(gop_pp),
-                rowsum(ga_pp),
-                rowsum(gb_pp),
-                rowsum(gc_pp),
+                gu_row,
+                gv_row,
+                gop_row,
+                ga_row,
+                gb_row,
+                gc_row,
                 _mm(gb, w_cl, (((1,), (0,)))),
                 jnp.zeros((feat_rows - chi, chunk), jnp.float32),
             ],

