@@ -264,20 +264,35 @@ def _z_bits_for(n_tiles: int) -> int:
     ``z + tile * (max_z + 1)`` (src/tile_culling.cu:236-237) re-expressed
     as a 2-key lexicographic sort.  zq is the top z_bits of the float32 bit
     pattern of z (monotone for z > 0), i.e. depth quantised to
-    (z_bits - 8) mantissa bits; equal-key splats composite in arbitrary
-    order, which only matters for coincident-depth overlaps.
+    (z_bits - 8) MANTISSA bits — the quantisation is therefore
+    RESOLUTION-DEPENDENT: more tiles -> fewer z bits.  At 1-2 MP frames
+    (garden: 4.3k tiles -> 13 tile bits -> 10 mantissa bits) the relative
+    depth resolution is ~0.1%, comfortably under splat extent; equal-key
+    splats composite in arbitrary (unstable-sort) order, which only
+    matters for near-coincident-depth overlaps.  When a frame is big
+    enough that mantissa bits would drop below _MIN_Z_MANTISSA (>~8 MP),
+    the layout switches to a true 2-key lexicographic sort (full-precision
+    zq as a second key operand) instead of silently coarsening depth
+    (ADVICE r2).
     """
     tile_bits = max(int(math.ceil(math.log2(n_tiles + 2))), 1)
     return 31 - tile_bits
 
 
+# below this many mantissa bits in the packed key, the candidate sort
+# spends one extra operand on an exact second depth key instead
+_MIN_Z_MANTISSA = 10
+
+
 def _tier_keys(sx, sy, wx, wy, obb, member, zq, k_cells, x_tiles, z_bits):
     """SAT-test up to k_cells window cells for a tier's gaussians.
 
-    Returns (K, M) i32 packed sort keys (tile << z_bits | zq); cells
-    outside the window / failing the SAT / of non-member columns hold
-    SENTINEL.  Cell enumeration is tile_x outer / tile_y inner like the
-    reference loops (tile_culling.cu:159-160).
+    Returns ((K, M) i32 packed sort keys (tile << z_bits | zq), (K, M) i32
+    tx, (K, M) i32 ty); cells outside the window / failing the SAT / of
+    non-member columns hold KEY_SENTINEL in the key.  Cell enumeration is
+    tile_x outer / tile_y inner like the reference loops
+    (tile_culling.cu:159-160).  tx/ty are returned so the bf16 packing can
+    carry TILE-LOCAL splat centres (see _layout_impl).
 
     The cell axis is the MAJOR axis on purpose: (M, K) arrays with K ≪ 128
     get catastrophic TPU layouts (the lane dim underfills), which blew up
@@ -292,7 +307,7 @@ def _tier_keys(sx, sy, wx, wy, obb, member, zq, k_cells, x_tiles, z_bits):
     in_window = k[:, None] < (wx * wy)[None, :]
     hit = in_window & member[None, :] & _split_axis_test(obb[None, :, :], tx, ty)
     key = jax.lax.shift_left(ty * x_tiles + tx, jnp.int32(z_bits)) | zq[None, :]
-    return jnp.where(hit, key, KEY_SENTINEL)
+    return jnp.where(hit, key, KEY_SENTINEL), tx, ty
 
 
 def capacity_bucket(want: int, floor: int = 8) -> int:
@@ -355,6 +370,7 @@ def _layout_impl(
     chunk: int,
     visible_capacity: int = 0,
     tier_capacities=None,
+    precision: str = "f32",
 ):
     """Assign gaussians to tiles and depth-sort per tile.
 
@@ -377,6 +393,17 @@ def _layout_impl(
        (tile, z) i32 key — its output IS the rasterizer input (the kernels
        walk the tile-grouped array with lane masks, ops/render
        .build_step_meta), so no chunk-alignment spread pass exists.
+
+    With ``precision="bf16"`` (and a full >= 6-row feature bundle) the
+    feature rows ride BOTH sorts as bf16 pairs packed into i32 operands
+    (sort cost is linear in operand count; see PERF.md).  The splat centre
+    rows are packed TILE-LOCALLY — (u - cell_tile_origin) fits bf16's 8
+    mantissa bits at ~0.1% of the splat's own extent, while global pixel
+    coordinates would lose whole pixels — and the global centre is
+    rebuilt after the sort from the key's tile id.  Only the compaction
+    sort keeps u, v in f32 (the tile WINDOW recomputation needs sub-pixel
+    global precision; everything else there tolerates the ~0.4% bf16
+    rounding that kernel_precision="bf16" already accepts elsewhere).
     """
     # uv / conic accepted as (N, C) arrays (tests, reference-parity API) or
     # as component tuples (the hot path — avoids minor-dim column pulls)
@@ -444,8 +471,14 @@ def _layout_impl(
 
     # per-gaussian quantised depth for the packed sort key: the top z_bits
     # of the float32 bit pattern (monotone for z > 0; invisible/garbage z
-    # never reaches a key because `hit` masks it to the sentinel)
+    # never reaches a key because `hit` masks it to the sentinel).  Very
+    # large tile counts leave too few mantissa bits in the packed key, so
+    # the candidate sort falls back to an exact 2-key lexicographic sort
+    # (see _z_bits_for).
     z_bits = _z_bits_for(n_tiles)
+    two_key = (z_bits - 8) < _MIN_Z_MANTISSA
+    if two_key:
+        z_bits = 31  # zq keeps the full f32 depth ordering
     zq = jax.lax.shift_right_logical(
         jax.lax.bitcast_convert_type(
             jnp.maximum(z_camera.astype(jnp.float32), 1e-30), jnp.int32
@@ -453,24 +486,52 @@ def _layout_impl(
         jnp.int32(31 - z_bits),
     )
 
-    # ---- COMPACTION sort: order capacity slots by descending clipped
-    # window area (contributing slots first), carrying everything the tier
-    # expansion needs.  After truncation to m_comp columns, every tier is a
-    # contiguous segment: [0, #area>k) boundaries by simple counts.
-    AREA_CLIP = TIER_CELLS[-1] + 2  # above the last tier boundary
+    # ---- COMPACTION sort: order capacity slots into tier-bucket groups
+    # (largest-window tiers first, contributing slots before empty ones).
+    # After truncation to m_comp columns, every tier is a contiguous
+    # segment: [0, #area>k) boundaries by simple counts.  Within a tier the
+    # order is arbitrary — only the SEGMENTATION matters, so the key
+    # quantises area to its tier index, which frees enough low bits to
+    # carry zq inside the key (one sort operand fewer; zq is recovered by
+    # masking the sorted key).
     contributes = visible & (area > 0)
     n_vis = jnp.sum(contributes.astype(jnp.int32))
-    comp_key = jnp.where(
-        contributes, AREA_CLIP - jnp.minimum(area, AREA_CLIP - 1),
-        KEY_SENTINEL,
+    nt = len(TIER_CELLS)
+    tier_bits = max(int(math.ceil(math.log2(nt + 2))), 1)
+    zc_bits = min(z_bits, 31 - tier_bits)  # only < z_bits on tiny grids
+    # ti = #(area > K_i) = tier index of this gaussian (nt for oversize)
+    ti = sum(
+        ((area > k).astype(jnp.int32)) for k in TIER_CELLS
     )
+    if two_key:
+        # full-precision zq doesn't fit beside the tier bucket: carry it
+        # as its own sort operand instead
+        comp_key = jnp.where(contributes, nt - ti, KEY_SENTINEL)
+    else:
+        comp_key = jnp.where(
+            contributes,
+            jax.lax.shift_left(nt - ti, jnp.int32(zc_bits))
+            | jax.lax.shift_right_logical(zq, jnp.int32(z_bits - zc_bits)),
+            KEY_SENTINEL,
+        )
     m_comp = _compacted_width(n, visible_capacity)
     n_rows = 0 if feat_g is None else feat_g.shape[0]
+    # bf16 operand packing only applies to full bundles whose rows 0..5
+    # are the geometry contract (see the override above)
+    bf16 = precision == "bf16" and geom_from_feat
     # geometry is recomputed from the carried rows after the sort (see
     # the rows-0..5 override above), so the sort carries no obb/window
     # operands
-    comp_ops = [comp_key, zq, jnp.arange(n, dtype=jnp.int32)]
-    if n_rows:
+    comp_ops = [comp_key]
+    if two_key:
+        comp_ops.append(zq)
+    comp_ops.append(jnp.arange(n, dtype=jnp.int32))
+    if bf16:
+        # u, v stay f32 (window recompute); rows 2.. ride as bf16 pairs
+        comp_ops += [feat_g[0], feat_g[1]] + _pack_rows(
+            [feat_g[r] for r in range(2, n_rows)], True
+        )
+    elif n_rows:
         comp_ops += [feat_g[r] for r in range(n_rows)]
     if not geom_from_feat:
         comp_ops += [u, v, a, b, c]
@@ -478,23 +539,40 @@ def _layout_impl(
         tuple(jax.lax.optimization_barrier(tuple(comp_ops))),
         num_keys=1, is_stable=False,
     )
-    zq_c, gid_c = comp[1][:m_comp], comp[2][:m_comp]
+    co = 1 if two_key else 0  # operand offset for the explicit zq carry
+    if two_key:
+        zq_c = comp[1][:m_comp]
+    else:
+        zq_c = jax.lax.shift_left(
+            comp[0][:m_comp] & jnp.int32((1 << zc_bits) - 1),
+            jnp.int32(z_bits - zc_bits),
+        )
+    gid_c = comp[1 + co][:m_comp]
     feat_c = None
-    if n_rows:
-        feat_c = jnp.stack([comp[3 + r][:m_comp] for r in range(n_rows)])
+    if bf16:
+        rest = _unpack_rows(
+            [p[:m_comp] for p in comp[4 + co :]], n_rows - 2, True
+        )
+        feat_c = jnp.stack(
+            [comp[2 + co][:m_comp], comp[3 + co][:m_comp]] + rest
+        )
+    elif n_rows:
+        feat_c = jnp.stack(
+            [comp[2 + co + r][:m_comp] for r in range(n_rows)]
+        )
     if geom_from_feat:
         u_c, v_c = feat_c[0], feat_c[1]
         a_c, b_c, c_c = feat_c[3], feat_c[4], feat_c[5]
     else:
         u_c, v_c, a_c, b_c, c_c = (
-            comp[3 + n_rows + j][:m_comp] for j in range(5)
+            comp[2 + co + n_rows + j][:m_comp] for j in range(5)
         )
     obb_c, _ = _obb_and_radius(u_c, v_c, a_c, b_c, c_c, mh_dist)
     sx_c, sy_c, wx_c, wy_c = _window(obb_c, grid.x_tiles, grid.y_tiles)
     slot = jnp.arange(m_comp, dtype=jnp.int32)
     n_vis_c = jnp.minimum(n_vis, m_comp).astype(jnp.int32)
     in_vis = slot < n_vis_c
-    area_c = jnp.where(in_vis, wx_c * wy_c, 0)  # non-increasing (clipped)
+    area_c = jnp.where(in_vis, wx_c * wy_c, 0)  # tier-grouped (clipped)
     dropped = n_vis > m_comp  # visible-capacity overflow (grow to fix)
 
     caps = _tier_capacities(m_comp, s_cap, tier_capacities)
@@ -505,7 +583,8 @@ def _layout_impl(
     gt = [
         jnp.sum((area_c > k).astype(jnp.int32)) for k in TIER_CELLS
     ]
-    tier_keys, tier_gid, tier_feat = [], [], []
+    tier_keys, tier_tx, tier_ty, tier_gid, tier_feat = [], [], [], [], []
+    tier_zq: list = []
     tier_starts, tier_members = [], []
     for i, k_cells in enumerate(TIER_CELLS):
         k_prev = 0 if i == 0 else TIER_CELLS[i - 1]
@@ -529,16 +608,24 @@ def _layout_impl(
         dropped |= n_member > cap_i
         sel = lambda arr: jax.lax.dynamic_slice_in_dim(arr, start, cap_i, 0)
         area_i = sel(area_c)
-        # area_c is zero at non-contributing columns, so > k_prev also
-        # excludes them in tier 0 (k_prev = 0)
+        # area_c is zero at non-contributing columns (and only group-wise
+        # ordered within a tier segment), so > k_prev also excludes them
+        # in tier 0 (k_prev = 0)
         member = area_i > k_prev
         if not last_tier:
             member &= area_i <= k_cells
-        tier_keys.append(
-            _tier_keys(sel(sx_c), sel(sy_c), sel(wx_c), sel(wy_c),
-                       jax.lax.dynamic_slice_in_dim(obb_c, start, cap_i, 0),
-                       member, sel(zq_c), k_cells, grid.x_tiles, z_bits)
+        zq_i = sel(zq_c)
+        key_i, tx_i, ty_i = _tier_keys(
+            sel(sx_c), sel(sy_c), sel(wx_c), sel(wy_c),
+            jax.lax.dynamic_slice_in_dim(obb_c, start, cap_i, 0),
+            member, zq_i * 0 if two_key else zq_i, k_cells, grid.x_tiles,
+            0 if two_key else z_bits,
         )
+        tier_keys.append(key_i)
+        if two_key:
+            tier_zq.append(jnp.broadcast_to(zq_i[None, :], key_i.shape))
+        tier_tx.append(tx_i)
+        tier_ty.append(ty_i)
         tier_gid.append(sel(gid_c))
         tier_feat.append(
             None if feat_c is None
@@ -565,26 +652,63 @@ def _layout_impl(
         ]
     )
     cand_pos = jnp.arange(cand_key.shape[0], dtype=jnp.int32)
-    cand_feat = [
-        flat(
+
+    def cand_row(r):
+        return flat(
             [
                 jnp.broadcast_to(f[r][None, :], t.shape)
                 for f, t in zip(tier_feat, tier_keys)
             ]
         )
-        for r in range(n_rows)
-    ]
+
+    half_px = (TILE_PX - 1) / 2
+    if bf16:
+        # splat centres ride TILE-LOCALLY as one bf16 pair (rebuilt from
+        # the key's tile id after the sort); rows 2.. ride as bf16 pairs
+        ulo = flat(
+            [
+                f[0][None, :] - (tx.astype(jnp.float32) * TILE_PX + half_px)
+                for f, tx in zip(tier_feat, tier_tx)
+            ]
+        )
+        vlo = flat(
+            [
+                f[1][None, :] - (ty.astype(jnp.float32) * TILE_PX + half_px)
+                for f, ty in zip(tier_feat, tier_ty)
+            ]
+        )
+        cand_feat = [_pack2_bf16(ulo, vlo)] + _pack_rows(
+            [cand_row(r) for r in range(2, n_rows)], True
+        )
+    else:
+        cand_feat = [cand_row(r) for r in range(n_rows)]
     # barrier: without it XLA fuses a copy of the whole SAT/obb producer
     # chain into each sort operand, bloating generated code several-fold
+    keys = [cand_key] + ([flat(tier_zq)] if two_key else [])
     ops = jax.lax.optimization_barrier(
-        tuple([cand_key, cand_gid, cand_pos] + cand_feat)
+        tuple(keys + [cand_gid, cand_pos] + cand_feat)
     )
-    sorted1 = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    sort_key, sort_gid = sorted1[0], sorted1[1]
-    pos_sorted = sorted1[2]  # (c_cand,) cell id per splat slot
-    sort_feat = list(sorted1[3:])
+    sorted1 = jax.lax.sort(
+        ops, num_keys=2 if two_key else 1, is_stable=False
+    )
+    ko = 1 if two_key else 0  # extra operand for the exact depth key
+    kz_bits = 0 if two_key else z_bits  # tile shift inside the first key
+    sort_key, sort_gid = sorted1[0], sorted1[1 + ko]
+    pos_sorted = sorted1[2 + ko]  # (c_cand,) cell id per splat slot
     c_cand = sort_key.shape[0]
-    sort_tile = jax.lax.shift_right_logical(sort_key, jnp.int32(z_bits))
+    sort_tile = jax.lax.shift_right_logical(sort_key, jnp.int32(kz_bits))
+    if bf16:
+        unp = _unpack_rows(list(sorted1[3 + ko :]), n_rows, True)
+        # rebuild global centres from the key's tile id + the local offset
+        # (sentinel slots give garbage, zeroed by the valid_slot mask below)
+        txs = (sort_tile % grid.x_tiles).astype(jnp.float32)
+        tys = (sort_tile // grid.x_tiles).astype(jnp.float32)
+        sort_feat = [
+            unp[0] + txs * TILE_PX + half_px,
+            unp[1] + tys * TILE_PX + half_px,
+        ] + unp[2:n_rows]
+    else:
+        sort_feat = list(sorted1[3 + ko :])
     num_splats = jnp.sum((sort_tile < n_tiles).astype(jnp.int32))
     overflow = dropped
     # full-width layout: every candidate cell has a splat slot (the kernels
@@ -594,7 +718,7 @@ def _layout_impl(
     if s_out > c_cand:
         sort_tile = jnp.pad(
             sort_tile, (0, s_out - c_cand),
-            constant_values=int(KEY_SENTINEL) >> z_bits,
+            constant_values=int(KEY_SENTINEL) >> kz_bits,
         )
         sort_gid = jnp.pad(sort_gid, (0, s_out - c_cand), constant_values=n)
         sort_feat = [jnp.pad(f, (0, s_out - c_cand)) for f in sort_feat]
@@ -628,11 +752,15 @@ def _layout_impl(
         truncated=truncated,
     )
     # aux: everything the feature-expansion VJP needs to run without a
-    # scatter or a global prefix sum (see _reduce_splat_grads)
+    # scatter or a global prefix sum (see _reduce_splat_grads).  valid_slot
+    # (not gaussian_idx) is what the VJP keeps alive: the hot path never
+    # reads gaussian_idx, so XLA's sort simplifier strips the gid value
+    # operand from the candidate sort entirely.
     aux = dict(
         pos_sorted=pos_sorted,
-        gid_full=comp[2],  # (n,) compaction permutation, full width
+        gid_full=comp[1 + co],  # (n,) compaction permutation, full width
         tier_starts=tuple(tier_starts),
+        valid_slot=valid_slot,
     )
     return layout, feat, aux
 
@@ -704,7 +832,7 @@ def _unpack_rows(packed, r: int, bf16: bool):
 
 def _reduce_splat_grads(
     feat_cot: jax.Array,
-    gidx: jax.Array,
+    valid: jax.Array,
     pos_sorted: jax.Array,
     gid_full: jax.Array,
     tier_starts,
@@ -744,8 +872,7 @@ def _reduce_splat_grads(
     n = gid_full.shape[0]
     # sanitise: slots past num_splats are never written by the backward
     # kernel (their windows are unvisited), so their rows can be garbage
-    valid = gidx < n
-    g = jnp.where(valid[None, :], feat_cot, 0.0)
+    g = jnp.where(valid[None, :s_cap], feat_cot, 0.0)
     if c_cand > s_cap:
         # cells whose slots were truncated by splat_capacity get zero grad
         g = jnp.pad(g, ((0, 0), (0, c_cand - s_cap)))
@@ -799,7 +926,7 @@ def layout_with_features(
     """
     layout, feat, _ = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-        chunk, visible_capacity, tier_capacities,
+        chunk, visible_capacity, tier_capacities, precision,
     )
     return layout, feat
 
@@ -809,14 +936,14 @@ def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
              tier_capacities=None, precision="f32"):
     layout, feat, aux = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
-        chunk, visible_capacity, tier_capacities,
+        chunk, visible_capacity, tier_capacities, precision,
     )
     zero_tpl = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         (uv, conic, z_camera, visible),
     )
     res = (
-        layout.gaussian_idx,
+        aux["valid_slot"],
         aux["pos_sorted"],
         aux["gid_full"],
         aux["tier_starts"],
@@ -830,14 +957,14 @@ def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
              tier_capacities, precision, res, cot):
     import numpy as np
 
-    gidx, pos_sorted, gid_full, tier_starts, zero_tpl, feat_s = res
+    valid_slot, pos_sorted, gid_full, tier_starts, zero_tpl, feat_s = res
     _, feat_cot = cot
     n = feat_s[1]
     m_comp = _compacted_width(n, visible_capacity)
     caps = _tier_capacities(m_comp, splat_capacity, tier_capacities)
     g_feat_g = _reduce_splat_grads(
-        feat_cot, gidx, pos_sorted, gid_full, tier_starts, caps, m_comp,
-        bf16=precision == "bf16",
+        feat_cot, valid_slot, pos_sorted, gid_full, tier_starts, caps,
+        m_comp, bf16=precision == "bf16",
     )
 
     def zero_cot(s):

@@ -222,6 +222,23 @@ def test_feature_grad_reduction_production_scale_one_signed():
     rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
     assert rel.max() < 1e-5, rel.max()
 
+    # bf16 mode (kernel_precision="bf16", the config default): gradient
+    # rows ride the two reduction sorts as packed bf16 pairs — each value
+    # is rounded to bf16 twice, so per-gaussian sums of one-signed terms
+    # must stay within ~2x bf16 unit roundoff (2^-8 ≈ 0.4%) relative — the
+    # production-scale bound behind PERF.md's "~0.4% gradient noise" claim.
+    def expand_bf16(fg):
+        _, feat = layout_with_features(
+            uv, conic, z, visible, fg, grid, 3.0, s_cap, 256, 0, None,
+            "bf16",
+        )
+        return jnp.sum(feat * cot)
+
+    got16 = np.asarray(jax.grad(expand_bf16)(feat_g))
+    rel16 = np.abs(got16 - want) / np.maximum(np.abs(want), 1e-3)
+    assert rel16.max() < 1.2e-2, rel16.max()
+    assert np.mean(rel16) < 4e-3, np.mean(rel16)
+
 
 def test_feature_grad_reduction_ignores_dead_slot_garbage():
     """Slots past num_splats are never written by the backward kernel, so

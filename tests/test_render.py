@@ -169,9 +169,13 @@ def test_per_pixel_sh_grads(scene):
 
 
 def test_bf16_kernel_precision_close_to_f32(scene):
-    """kernel_precision="bf16" runs the compositing matmuls with bf16 MXU
-    inputs (f32 accumulation); images must stay within bf16-roundoff of
-    the f32 path and gradients must stay finite with the same mask."""
+    """kernel_precision="bf16" packs the layout's sort value operands into
+    bf16 pairs (compaction + candidate sorts: feature rows, with splat
+    centres carried tile-locally; gradient-reduction sorts: gradient rows
+    — see culling._layout_impl / _reduce_splat_grads).  The kernels
+    themselves still run f32 matmuls.  Images must stay within
+    bf16-roundoff of the f32 path and gradients must stay finite with the
+    same visibility mask."""
     import jax
 
     params = scene.params()
