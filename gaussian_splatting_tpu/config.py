@@ -114,6 +114,13 @@ class SplatConfig:
     # Default bf16: synthetic-convergence PSNR is identical to f32 to the
     # second decimal (PERF.md) and the step is ~10% faster.
     kernel_precision: str = "bf16"
+    # apply optimisation updates even on frames whose layout overflowed a
+    # tier capacity (rendering with the tier's smallest members dropped).
+    # Default off: overflowing frames are skipped and the runner grows the
+    # capacity buckets.  The runner flips this on automatically when the
+    # max_splat_capacity clamp stops capacities from growing any further —
+    # degraded rendering beats a silent training stall (ADVICE r2).
+    overflow_updates: bool = False
     # random seed
     seed: int = 0
     # number of data-parallel devices (cameras per step); 1 = reference
@@ -140,6 +147,87 @@ class SplatConfig:
     @staticmethod
     def from_yaml(text: str) -> "SplatConfig":
         return SplatConfig(**yaml.safe_load(text))
+
+
+# one-line help per field, rendered by the CLI (train.py) — the reference
+# documents its knobs via tyro-rendered docstrings (splat_py/config.py:30-157)
+FIELD_HELP = {
+    "dataset_path": "COLMAP dataset directory (sparse/0 + images)",
+    "downsample_factor": "image downsample factor (1, 2, 4, 8)",
+    "output_dir": "directory for config.yaml, checkpoints, debug images",
+    "checkpoint_interval": "save a checkpoint every N iterations",
+    "load_checkpoint": "resume from checkpoint_path instead of initialising",
+    "checkpoint_path": "checkpoint .npz to resume from",
+    "save_debug_image_interval": "save a render of train view 0 every N "
+    "iterations (0 disables)",
+    "print_interval": "print train PSNR/size every N iterations",
+    "initial_opacity": "initial opacity of every gaussian",
+    "initial_scale_num_neighbors": "K for the KNN that sets initial scales",
+    "initial_scale_factor": "initial scale = factor * mean KNN distance",
+    "max_initial_scale": "upper clamp on the initial scale",
+    "near_thresh": "cull gaussians closer than this camera-space depth",
+    "far_thresh": "cull gaussians farther than this camera-space depth",
+    "mh_dist": "Mahalanobis distance defining a splat's tile footprint",
+    "cull_mask_padding": "pixels outside the image still considered visible",
+    "saturated_pixel_value": "white level used to normalise images",
+    "num_iters": "total training iterations",
+    "ssim_frac": "loss = (1-frac)*L1 + frac*(1-SSIM)",
+    "base_lr": "Adam base learning rate",
+    "xyz_lr_multiplier": "xyz lr = base_lr * this",
+    "quat_lr_multiplier": "quaternion lr = base_lr * this",
+    "scale_lr_multiplier": "scale lr = base_lr * this",
+    "opacity_lr_multiplier": "opacity lr = base_lr * this",
+    "rgb_lr_multiplier": "rgb (SH DC) lr = base_lr * this",
+    "sh_lr_multiplier": "higher SH band lr = base_lr * this",
+    "test_eval_interval": "evaluate the test split every N iterations",
+    "test_split_ratio": "every Nth image is held out for test",
+    "use_background": "cycle the background colour during early training",
+    "use_background_end": "stop the background cycle at this iteration",
+    "reset_opacity_interval": "reset opacities every N iterations",
+    "reset_opacity_value": "opacity value applied by a reset",
+    "reset_opacity_start": "first iteration a reset may fire",
+    "reset_opacity_end": "last iteration a reset may fire",
+    "use_sh_precompute": "evaluate SH once per gaussian per view (vs "
+    "per-pixel ray directions in the kernel)",
+    "max_sh_band": "highest spherical-harmonics band (0-3)",
+    "add_sh_band_interval": "unlock one more SH band every N iterations",
+    "use_split": "ADC: split large high-gradient gaussians",
+    "use_clone": "ADC: clone small high-gradient gaussians",
+    "use_delete": "ADC: delete transparent/stale gaussians",
+    "adaptive_control_start": "first iteration ADC may fire",
+    "adaptive_control_end": "last iteration ADC may fire",
+    "adaptive_control_interval": "run ADC every N iterations",
+    "max_gaussians": "stop densifying above this many alive gaussians",
+    "delete_opacity_threshold": "delete gaussians below this opacity",
+    "clone_scale_threshold": "clone below this max scale, split above",
+    "max_scale_norm": "upper clamp on scale norms (reference parity knob)",
+    "use_fractional_densification": "percentile-based densify thresholds "
+    "instead of a fixed uv-grad threshold",
+    "use_adaptive_fractional_densification": "anneal the densify "
+    "percentiles toward the end of ADC",
+    "uv_grad_percentile": "uv-gradient percentile that triggers densify",
+    "scale_norm_percentile": "scale percentile that triggers split",
+    "uv_grad_threshold": "fixed uv-grad densify threshold (non-fractional)",
+    "split_scale_factor": "each split sample shrinks scale by this factor",
+    "num_split_samples": "samples per split (fixed-capacity impl: 2)",
+    "gaussian_capacity": "gaussian slot capacity; <=0 derives it from the "
+    "initial point count (8x headroom, capped by max_gaussians)",
+    "splat_capacity": "flat per-frame splat-list capacity used to derive "
+    "default tier capacities",
+    "max_splat_capacity": "hard ceiling for automatic splat-capacity growth",
+    "visible_capacity": "visible-gaussian compaction capacity per frame "
+    "(0 = gaussian capacity; the runner right-sizes it)",
+    "tier_capacities": "per-tier member capacities, comma-separated (one "
+    "per culling.TIER_CELLS entry); empty derives from splat_capacity",
+    "chunk": "rasterizer chunk length (splats per grid step)",
+    "kernel_precision": "'f32' (exact) or 'bf16' (sort operands ride as "
+    "packed bf16 pairs; ~0.4%% gradient noise, ~25%% faster step)",
+    "overflow_updates": "apply updates even on tier-capacity-overflowing "
+    "frames (runner flips this on at the max_splat_capacity ceiling)",
+    "seed": "random seed",
+    "data_parallel": "data-parallel devices (cameras per step); 1 = "
+    "reference semantics",
+}
 
 
 def preset(name: str) -> SplatConfig:

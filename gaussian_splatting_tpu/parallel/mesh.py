@@ -37,6 +37,10 @@ def _local_loss(params, alive, uv_offset, gt, K, pose, bg, *, config,
                 camera_hw, n_sh_band, interpret):
     h, w = camera_hw
     camera = Camera(K=K, width=w, height=h)
+    # gt batches ride host->device as uint8 (4x less transfer; the
+    # reference keeps gt images device-resident, splat_py/structs.py:14-27)
+    if gt.dtype == jnp.uint8:
+        gt = gt.astype(jnp.float32) * (1.0 / config.saturated_pixel_value)
     res = rasterize(
         params, alive, pose, camera,
         near_thresh=config.near_thresh,
@@ -130,7 +134,7 @@ def dp_train_step(
         # skip the whole step when any device's layout overflowed its
         # capacity or any gradient is non-finite (same semantics as
         # trainer.train_step)
-        ok = ~overflow & jnp.isfinite(loss)
+        ok = (~overflow | config.overflow_updates) & jnp.isfinite(loss)
         for g in jax.tree_util.tree_leaves(gparams):
             ok &= jnp.isfinite(jnp.sum(g))
         params = jax.tree_util.tree_map(

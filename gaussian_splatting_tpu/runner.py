@@ -65,6 +65,7 @@ class TrainingRunner:
             self.train_split = all_idx
 
         self._gt_cache = {}
+        self._gt_dev = {}
         self._splat_watermark: list = []
         self._visible_watermark: list = []
         self._tier_watermark: list = []
@@ -142,6 +143,37 @@ class TrainingRunner:
             self._gt_cache[idx] = img / self.config.saturated_pixel_value
         return self._gt_cache[idx]
 
+    def gt_image_dev(self, idx: int) -> jnp.ndarray:
+        """Device-RESIDENT ground truth (uint8), staged once per image.
+
+        The reference keeps every train image on the GPU
+        (splat_py/structs.py:14-27); round 2 re-uploaded a 13 MB f32 image
+        from a host cache every step, a real tax at the target step time.
+        uint8 on device = 4x less HBM + 4x smaller upload; train/eval
+        steps normalise on device.
+        """
+        if idx not in self._gt_dev:
+            if self.synthetic:
+                img = np.clip(
+                    self.gt_image(idx) * self.config.saturated_pixel_value,
+                    0.0, 255.0,
+                )
+            else:
+                img = self.data.load_image(idx)
+            self._gt_dev[idx] = jnp.asarray(img.astype(np.uint8))
+        return self._gt_dev[idx]
+
+    def _gt_u8_host(self, idx: int) -> np.ndarray:
+        """Host-side uint8 ground truth (for DP batches, which re-shard
+        across devices each step — uint8 quarters the host->device
+        transfer; normalisation happens on device in _local_loss)."""
+        if self.synthetic:
+            return np.clip(
+                self.gt_image(idx) * self.config.saturated_pixel_value,
+                0.0, 255.0,
+            ).astype(np.uint8)
+        return self.data.load_image(idx).astype(np.uint8)
+
     # -- schedule helpers ----------------------------------------------------
 
     def background_for(self, i: int) -> jnp.ndarray:
@@ -203,12 +235,20 @@ class TrainingRunner:
                 return sum(k * c for k, c in zip(TIER_CELLS, cs))
 
             while total(caps) > cfg.max_splat_capacity:
-                i = int(np.argmax(
-                    [k * c for k, c in zip(TIER_CELLS, caps)]
-                ))
-                if caps[i] <= TIER_FLOORS[i]:
+                # shave the biggest still-shaveable contributor; stop only
+                # when EVERY tier is at its floor (a tier at floor must not
+                # block shaving the others)
+                order = sorted(
+                    range(len(caps)),
+                    key=lambda j: TIER_CELLS[j] * caps[j],
+                    reverse=True,
+                )
+                for i in order:
+                    if caps[i] > TIER_FLOORS[i]:
+                        caps[i] = max(caps[i] // 2, TIER_FLOORS[i])
+                        break
+                else:
                     break
-                caps[i] //= 2
             caps = tuple(caps)
             if caps != cfg.tier_capacities:
                 print(
@@ -268,7 +308,7 @@ class TrainingRunner:
         for idx in idxs:
             im = self.data.images[int(idx)]
             cam = self.data.cameras[im.camera_id]
-            gts.append(self.gt_image(int(idx)))
+            gts.append(self._gt_u8_host(int(idx)))
             Ks.append(cam.K)
             poses.append(im.camera_T_world)
         cam0 = self.data.cameras[self.data.images[int(idxs[0])].camera_id]
@@ -310,12 +350,18 @@ class TrainingRunner:
         for idx in self.test_split:
             im = self.data.images[idx]
             cam = self.data.cameras[im.camera_id]
-            img, psnr, ssim = T.eval_step(
-                self.state, jnp.asarray(self.gt_image(idx)),
+            img, psnr, ssim, eoverflow = T.eval_step(
+                self.state, self.gt_image_dev(idx),
                 jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
                 config=cfg, camera_hw=(cam.height, cam.width),
                 n_sh_band=band,
             )
+            if bool(eoverflow):
+                print(
+                    f"  WARNING: eval view {idx} overflowed the default "
+                    "tier capacities — its PSNR/SSIM undercounts the "
+                    "scene's largest gaussians"
+                )
             psnrs.append(float(psnr))
             ssims.append(float(ssim))
             if save_images:
@@ -337,8 +383,8 @@ class TrainingRunner:
         idx = int(self.train_split[0])
         im = self.data.images[idx]
         cam = self.data.cameras[im.camera_id]
-        img, _, _ = T.eval_step(
-            self.state, jnp.asarray(self.gt_image(idx)),
+        img, _, _, _ = T.eval_step(
+            self.state, self.gt_image_dev(idx),
             jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
             config=self._eval_config(), camera_hw=(cam.height, cam.width),
             n_sh_band=T.sh_band_for_iteration(self.config, i),
@@ -357,7 +403,31 @@ class TrainingRunner:
             band = T.sh_band_for_iteration(cfg, i)
             if self._overflowed or (i % 500 == 499):
                 self._drain()
-                cfg = self.config = self._rebucket_splat_capacity(cfg)
+                was_overflowed = self._overflowed
+                new_cfg = self._rebucket_splat_capacity(cfg)
+                if (
+                    was_overflowed
+                    and new_cfg == cfg
+                    and not cfg.overflow_updates
+                ):
+                    # the max_splat_capacity clamp stopped every capacity
+                    # from growing while frames still overflow: without
+                    # this, train_step would skip EVERY update and training
+                    # would silently stall (ADVICE r2).  Render with the
+                    # overflowing tiers' tails dropped instead.
+                    print(
+                        "  WARNING: layout overflow persists at the "
+                        "max_splat_capacity ceiling "
+                        f"({cfg.max_splat_capacity} cells); continuing "
+                        "with truncated tier tails instead of skipping "
+                        "updates (raise max_splat_capacity to fix)"
+                    )
+                    new_cfg = new_cfg.replace(overflow_updates=True)
+                elif new_cfg != cfg and cfg.overflow_updates:
+                    # capacities moved again — restore strict skip-on-
+                    # overflow semantics (flips back on if it persists)
+                    new_cfg = new_cfg.replace(overflow_updates=False)
+                cfg = self.config = new_cfg
             if self.mesh is not None:
                 info = self._dp_step(i, band, cfg)
             else:
@@ -366,7 +436,7 @@ class TrainingRunner:
                 cam = self.data.cameras[im.camera_id]
                 self.state, info = T.train_step(
                     self.state,
-                    jnp.asarray(self.gt_image(idx)),
+                    self.gt_image_dev(idx),
                     jnp.asarray(cam.K),
                     jnp.asarray(im.camera_T_world),
                     self.background_for(i),

@@ -84,6 +84,13 @@ def train_step(
     del use_background  # bg value is in background_rgb; kept for cache keys
     h, w = camera_hw
     camera = Camera(K=camera_K, width=w, height=h)
+    # gt images live on device as uint8 (the reference keeps them GPU-
+    # resident the same way, splat_py/structs.py:14-27); normalise on
+    # device instead of uploading a 4x bigger f32 image every step
+    if gt_image.dtype == jnp.uint8:
+        gt_image = gt_image.astype(jnp.float32) * (
+            1.0 / config.saturated_pixel_value
+        )
     cap = state.alive.shape[0]
     uv_zero = jnp.zeros((2, cap), jnp.float32)
 
@@ -126,7 +133,7 @@ def train_step(
     # A non-finite loss/gradient frame is likewise skipped outright — the
     # guard costs one reduction and stops a single bad frame from
     # NaN-poisoning the whole scene.
-    ok = ~overflow & jnp.isfinite(loss)
+    ok = (~overflow | config.overflow_updates) & jnp.isfinite(loss)
     for g in jax.tree_util.tree_leaves(gparams):
         ok &= jnp.isfinite(jnp.sum(g))
     params = jax.tree_util.tree_map(
@@ -185,6 +192,10 @@ def eval_step(
     """Render one test image and compute PSNR/SSIM (trainer.py:297-346)."""
     h, w = camera_hw
     camera = Camera(K=camera_K, width=w, height=h)
+    if gt_image.dtype == jnp.uint8:
+        gt_image = gt_image.astype(jnp.float32) * (
+            1.0 / config.saturated_pixel_value
+        )
     res = rasterize(
         state.params, state.alive, camera_T_world, camera,
         near_thresh=config.near_thresh,
@@ -202,7 +213,11 @@ def eval_step(
         kernel_precision=config.kernel_precision,
     )
     psnr, ssim_val = eval_psnr_ssim(res.image, gt_image)
-    return res.image, psnr, ssim_val
+    # overflow is surfaced (not silently dropped): an eval view whose
+    # layout overflows the tier capacities renders with its largest
+    # gaussians' smallest members missing and reports a wrong PSNR/SSIM
+    # — the caller must warn (ADVICE r2)
+    return res.image, psnr, ssim_val, res.overflow
 
 
 # ---------------------------------------------------------------------------

@@ -22,19 +22,22 @@ import numpy as np
 
 
 def build_parser():
-    from gaussian_splatting_tpu.config import SplatConfig, preset
+    from gaussian_splatting_tpu.config import FIELD_HELP, SplatConfig, preset
 
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="preset", required=True)
     for name in ("7k", "30k", "synthetic"):
-        p = sub.add_parser(name)
+        p = sub.add_parser(
+            name, formatter_class=argparse.ArgumentDefaultsHelpFormatter
+        )
         base = preset("7k" if name == "synthetic" else name)
         for f in dataclasses.fields(SplatConfig):
             default = getattr(base, f.name)
+            help_text = FIELD_HELP.get(f.name, "")
             if f.type == "bool" or isinstance(default, bool):
                 p.add_argument(
                     f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
-                    default=default,
+                    default=default, help=help_text,
                 )
             elif default is None or isinstance(default, tuple):
                 # tuple knobs (tier_capacities): comma-separated ints,
@@ -43,10 +46,13 @@ def build_parser():
                     f"--{f.name}",
                     type=lambda s: tuple(int(x) for x in s.split(","))
                     if s else None,
-                    default=default,
+                    default=default, help=help_text,
                 )
             else:
-                p.add_argument(f"--{f.name}", type=type(default), default=default)
+                p.add_argument(
+                    f"--{f.name}", type=type(default), default=default,
+                    help=help_text,
+                )
     return parser
 
 
