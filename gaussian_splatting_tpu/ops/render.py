@@ -242,12 +242,34 @@ def _mm(a, b, contract):
 
 def _mmp(a, b, contract, bf16):
     """dot_general with optionally bf16-cast inputs (single-pass MXU) and
-    f32 accumulation — the "bf16" kernel_precision mode.  f32 inputs run
-    the MXU in multi-pass mode at ~1/4 throughput."""
+    f32 accumulation.  NOT used by production paths even under
+    kernel_precision="bf16": single-pass bf16 on the real (colour/gradient)
+    matmuls puts ~2^-9 relative noise directly on the image (measured
+    1.1e-2 max pixel delta on the fixture) for a tiny MXU saving — the
+    prefix matmuls are ~98% of the MXU work and get the tight hi/lo split
+    in _mm_scan instead.  Kept as a benchmarking-only knob."""
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return _mm(a, b, contract)
+
+
+def _mm_scan(x, u01, contract, bf16):
+    """x @ u01 where u01 is a 0/1 (triangular) matrix — the kernels'
+    prefix-sum-as-matmul.  These (C, C)-contraction matmuls are ~98% of the
+    kernels' MXU work, so under kernel_precision="bf16" x rides as a
+    hi/lo bf16 SPLIT (x = hi + lo + eps, |eps| <= 2^-16 |x|): two
+    single-pass bf16 matmuls with f32 accumulation cost ~half an f32
+    multi-pass matmul and keep ~16 mantissa bits of the operand — each
+    hi/lo product against a 0/1 matrix is EXACT, so the only loss is the
+    split residual (~100x tighter than single-pass bf16 inputs).  f32 mode
+    is untouched (golden-pixel parity tests pin it)."""
+    if not bf16:
+        return _mm(x, u01, contract)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ub = u01.astype(jnp.bfloat16)
+    return _mm(hi, ub, contract) + _mm(lo, ub, contract)
 
 
 def _col_to_row(col):
@@ -305,12 +327,12 @@ def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
         u_strict, _ = _tri_matrices(chunk, f.dtype)
         # exclusive prefix transmittance within the chunk, times the carry
         tpref = t_col[:] * jnp.exp(
-            _mmp(loma, u_strict, (((1,), (0,))), bf16)
+            _mm_scan(loma, u_strict, (((1,), (0,))), bf16)
         )
         active = tpref >= cc.T_EPS
         wgt = jnp.where(active, at * tpref, 0.0)  # (256, CHUNK)
         rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
-        acc[0:3, :] += _mmp(rgb, wgt, (((1,), (1,))), bf16)  # (3, 256)
+        acc[0:3, :] += _mm(rgb, wgt, (((1,), (1,))))  # (3, 256), f32
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
         sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
@@ -403,7 +425,7 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         loma = _log_one_minus(at)
         u_strict, _ = _tri_matrices(chunk, f.dtype)
         tpref = t_col[:] * jnp.exp(
-            _mmp(loma, u_strict, (((1,), (0,))), bf16)
+            _mm_scan(loma, u_strict, (((1,), (0,))), bf16)
         )
         active = tpref >= cc.T_EPS
         mask = active & (at > 0.0)
@@ -412,10 +434,12 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
         rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
         # A[p, s] = sum_ch g[ch, p] * rgb[ch, s]
-        A = _mmp(g, rgb, (((0,), (0,))), bf16)  # (256, CHUNK)
+        A = _mm(g, rgb, (((0,), (0,))))  # (256, CHUNK), f32
         cw = A * wgt
         # inclusive prefix = strict prefix + cw (one matmul serves both)
-        pg_incl = pg_col[:] + _mmp(cw, u_strict, (((1,), (0,))), bf16) + cw
+        pg_incl = (
+            pg_col[:] + _mm_scan(cw, u_strict, (((1,), (0,))), bf16) + cw
+        )
         # D = sum_ch color_accum * g  (colour behind this splat + background)
         D = e_col[:] - pg_incl
 
@@ -437,7 +461,7 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         basis = jnp.concatenate(
             [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
         )  # (256, 6)
-        T6 = _mmp(basis, q, (((0,), (0,))), bf16)  # (6, CHUNK) raw moments
+        T6 = _mm(basis, q, (((0,), (0,))))  # (6, CHUNK) raw moments, f32
         m1, su, sv = T6[0:1, :], T6[1:2, :], T6[2:3, :]
         suu, svv, suv = T6[3:4, :], T6[4:5, :], T6[5:6, :]
         # central moments about the splat centre (tile-local, so the
@@ -465,7 +489,7 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
                 ga_row,
                 gb_row,
                 gc_row,
-                _mmp(g, w_cl, (((1,), (0,))), bf16),
+                _mm(g, w_cl, (((1,), (0,)))),
                 jnp.zeros(
                     (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
                 ),

@@ -151,15 +151,20 @@ def rasterize(
             chunk=chunk, interpret=interpret,
         )
     else:
-        # NOTE: the kernels always run f32 matmuls — casting their MXU
-        # inputs to bf16 measured net-NEGATIVE on v5e (the kernels are
-        # bound by VPU elementwise math, and the casts add passes);
-        # kernel_precision="bf16" instead packs the gradient-reduction
-        # sort operands (see culling._reduce_splat_grads)
+        # kernel_precision="bf16" packs the gradient-reduction sort
+        # operands (culling._reduce_splat_grads) AND switches the kernels'
+        # big triangular prefix matmuls to the hi/lo bf16-split (2 single-
+        # pass MXU matmuls, ~2^-16 relative error — see ops.render
+        # ._mm_scan).  The small real (colour/gradient) matmuls stay f32:
+        # single-pass bf16 there puts ~2^-9 noise straight on the image
+        # (measured 1.1e-2 max pixel delta) for ~2% of the MXU work.
+        # Round-2's "cast everything to bf16" experiment measured
+        # net-negative; the split keeps precision while still collapsing
+        # the f32 multi-pass on the ~98% that is prefix matmuls.
         img_tiles, T = render_tiles(
             feat, meta, background_rgb, layout.tile_has_output,
             n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
-            interpret=interpret,
+            interpret=interpret, precision=kernel_precision,
         )
     image = tiles_to_image(img_tiles, grid)
     return RenderResult(
