@@ -475,7 +475,13 @@ class TrainingRunner:
                         int(stats["n_deleted"]), int(stats["n_clone"]),
                         int(stats["n_split"]), int(stats["n_alive"]),
                     )
-                    + (" CAP-HIT" if bool(stats["cap_hit"]) else "")
+                    + (
+                        "  CAP-HIT (free slots exhausted: "
+                        f"{int(stats['clone_deferred'])} clones dropped, "
+                        f"{int(stats['split_deferred'])} split second-"
+                        "samples lost — raise gaussian_capacity)"
+                        if bool(stats["cap_hit"]) else ""
+                    )
                 )
 
             if (

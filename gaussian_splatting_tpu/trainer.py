@@ -280,9 +280,17 @@ def adaptive_density_control(
     split overwrites the original slot with sample 1 and writes sample 2
     into a free slot (equivalent to the reference's delete-original +
     append-2-samples).
+
+    Clone and split each drain their candidate set EXHAUSTIVELY: batches
+    of ``max_new`` are processed under a ``lax.while_loop`` until no
+    candidate (or no free slot) remains, so the static batch bound never
+    silently defers densification the reference would have done
+    (VERDICT r2 item 8).  Realistic events fit one batch — the loop costs
+    nothing extra then.  ``cap_hit`` now means the only true deferral
+    left: candidates remained when the free slots ran out.
     """
     cap = state.alive.shape[0]
-    max_new = cap // 4  # static bound on clones or splits per event
+    max_new = cap // 4  # static batch width of one clone/split pass
     params, alive, opt_state = state.params, state.alive, state.opt_state
     f32max = jnp.float32(jnp.inf)
 
@@ -330,25 +338,47 @@ def adaptive_density_control(
     clone_mask = densify & (scale_max <= config.clone_scale_threshold)
     n_clone = jnp.sum(clone_mask.astype(jnp.int32))
 
-    # ---- step 2.1: clone (trainer.py:123-161)
-    free_idx = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
+    # ---- step 2.1: clone (trainer.py:123-161), batch-drained
+    clone_deferred = jnp.int32(0)
     if config.use_clone:
-        src = jnp.nonzero(clone_mask, size=max_new, fill_value=cap)[0]
-        src_safe = jnp.minimum(src, cap - 1)
-        ok = (src < cap) & (free_idx < cap)
-        overrides = dict(
-            xyz=params["xyz"][src_safe]
-            - xyz_grad_avg[src_safe] * 0.01
+
+        def clone_cond(c):
+            params, alive, opt_state, remaining, densify, scale_max = c
+            return jnp.any(remaining) & jnp.any(~alive)
+
+        def clone_body(c):
+            params, alive, opt_state, remaining, densify, scale_max = c
+            src = jnp.nonzero(remaining, size=max_new, fill_value=cap)[0]
+            free_idx = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
+            src_safe = jnp.minimum(src, cap - 1)
+            ok = (src < cap) & (free_idx < cap)
+            overrides = dict(
+                xyz=params["xyz"][src_safe]
+                - xyz_grad_avg[src_safe] * 0.01
+            )
+            params, alive, opt_state = _write_slots(
+                params, alive, opt_state, src_safe, free_idx, ok, overrides
+            )
+            # clones inherit the densify flag and scale (trainer.py:268-271)
+            densify = densify.at[jnp.where(ok, free_idx, cap)].set(
+                densify[src_safe], mode="drop"
+            )
+            scale_max = scale_max.at[jnp.where(ok, free_idx, cap)].set(
+                scale_max[src_safe], mode="drop"
+            )
+            remaining = remaining & ~jnp.zeros((cap,), bool).at[
+                jnp.where(ok, src_safe, cap)
+            ].set(True, mode="drop")
+            return (params, alive, opt_state, remaining, densify, scale_max)
+
+        params, alive, opt_state, rem_clone, densify, scale_max = (
+            jax.lax.while_loop(
+                clone_cond, clone_body,
+                (params, alive, opt_state, clone_mask, densify, scale_max),
+            )
         )
-        params, alive, opt_state = _write_slots(
-            params, alive, opt_state, src_safe, free_idx, ok, overrides
-        )
-        # clones inherit the densify flag and scale (trainer.py:268-271)
-        densify = densify.at[jnp.where(ok, free_idx, cap)].set(
-            densify[src_safe], mode="drop"
-        )
-        scale_max = scale_max.at[jnp.where(ok, free_idx, cap)].set(
-            scale_max[src_safe], mode="drop"
+        clone_deferred = jnp.sum(
+            rem_clone.astype(jnp.int32), dtype=jnp.int32
         )
 
     # ---- step 2.2: split (trainer.py:163-206, 274-293)
@@ -368,47 +398,73 @@ def adaptive_density_control(
     split_mask &= alive
     n_split = jnp.sum(split_mask.astype(jnp.int32))
 
+    split_deferred = jnp.int32(0)
     if config.use_split:
         assert config.num_split_samples == 2, (
             "fixed-capacity split implements the default 2 samples"
         )
-        src = jnp.nonzero(split_mask, size=max_new, fill_value=cap)[0]
-        src_safe = jnp.minimum(src, cap - 1)
-        # free slots after cloning
-        free_idx2 = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
-        ok = (src < cap) & (free_idx2 < cap)
 
-        def sample(k):
-            r = jax.random.uniform(k, (max_new, 3), jnp.float32)
-            scales = jnp.exp(params["scale"][src_safe])
-            quat = params["quaternion"][src_safe]
-            quat = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
-            rot = quaternion_to_rotation(quat)
-            return params["xyz"][src_safe] + jnp.einsum(
-                "nij,nj->ni", rot, r * scales
+        def split_cond(c):
+            params, alive, opt_state, remaining, lost, it = c
+            # sample 1 splits IN PLACE, so the loop must run even with no
+            # free slots; remaining drains every iteration -> terminates
+            return jnp.any(remaining)
+
+        def split_body(c):
+            params, alive, opt_state, remaining, lost, it = c
+            src = jnp.nonzero(remaining, size=max_new, fill_value=cap)[0]
+            src_safe = jnp.minimum(src, cap - 1)
+            free_idx2 = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
+            ok = (src < cap) & (free_idx2 < cap)
+
+            def sample(k):
+                r = jax.random.uniform(k, (max_new, 3), jnp.float32)
+                scales = jnp.exp(params["scale"][src_safe])
+                quat = params["quaternion"][src_safe]
+                quat = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
+                rot = quaternion_to_rotation(quat)
+                return params["xyz"][src_safe] + jnp.einsum(
+                    "nij,nj->ni", rot, r * scales
+                )
+
+            k1, k2 = jax.random.split(jax.random.fold_in(key, it))
+            new_scale = jnp.log(
+                jnp.exp(params["scale"][src_safe])
+                / config.split_scale_factor
             )
+            # BOTH samples are drawn inside the ORIGINAL ellipsoid
+            # (trainer.py:177-187) before any write lands — sample 1 then
+            # overwrites the original slot, sample 2 goes to a free slot.
+            xyz1, xyz2 = sample(k1), sample(k2)
+            ok1 = src < cap
+            params, alive, opt_state = _write_slots(
+                params, alive, opt_state, src_safe, src_safe, ok1,
+                overrides=dict(xyz=xyz1, scale=new_scale),
+            )
+            params, alive, opt_state = _write_slots(
+                params, alive, opt_state, src_safe, free_idx2, ok,
+                overrides=dict(xyz=xyz2, scale=new_scale),
+            )
+            # a source whose sample 2 found no free slot was still split
+            # in place (sample 1): processed, but its second sample is lost
+            lost = lost + jnp.sum(
+                (ok1 & ~ok).astype(jnp.int32), dtype=jnp.int32
+            )
+            remaining = remaining & ~jnp.zeros((cap,), bool).at[
+                jnp.where(ok1, src_safe, cap)
+            ].set(True, mode="drop")
+            return (params, alive, opt_state, remaining, lost, it + 1)
 
-        k1, k2 = jax.random.split(key)
-        new_scale = jnp.log(
-            jnp.exp(params["scale"][src_safe]) / config.split_scale_factor
-        )
-        # sample 1 overwrites the original slot
-        ok1 = src < cap
-        params, alive, opt_state = _write_slots(
-            params, alive, opt_state, src_safe, src_safe, ok1,
-            overrides=dict(xyz=sample(k1), scale=new_scale),
-        )
-        # sample 2 goes to a free slot
-        params, alive, opt_state = _write_slots(
-            params, alive, opt_state, src_safe, free_idx2, ok,
-            overrides=dict(xyz=sample(k2), scale=new_scale),
+        params, alive, opt_state, _, split_deferred, _ = jax.lax.while_loop(
+            split_cond, split_body,
+            (params, alive, opt_state, split_mask, jnp.int32(0),
+             jnp.int32(0)),
         )
 
-    cap_hit = (
-        (n_clone > max_new)
-        | (n_split > max_new)
-        | (jnp.sum((~alive).astype(jnp.int32)) == 0)
-    )
+    # with exhaustive batch draining, the only work ever dropped is a
+    # candidate that found no free slot (clone) or a split's second
+    # sample (lost) — surfaced per event so the runner can report it
+    cap_hit = (clone_deferred > 0) | (split_deferred > 0)
     state = state._replace(
         params=params,
         alive=alive,
@@ -425,6 +481,8 @@ def adaptive_density_control(
         uv_split_val=uv_split_val,
         skip_densify=skip_densify,
         cap_hit=cap_hit,
+        clone_deferred=clone_deferred,
+        split_deferred=split_deferred,
     )
     return state, stats
 

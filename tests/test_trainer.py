@@ -193,3 +193,90 @@ def test_sh_band_schedule():
     assert T.sh_band_for_iteration(cfg, 6999) == 3
     cfg0 = SplatConfig(max_sh_band=0)
     assert T.sh_band_for_iteration(cfg0, 5000) == 0
+
+
+def _dense_state(n_alive: int, capacity: int, scale: float, config):
+    """A state with ``n_alive`` identical gaussians, all primed to densify
+    (uv accumulators above the fixed threshold, seen in one view)."""
+    from gaussian_splatting_tpu.structs import GaussianScene
+
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1, 1, (n_alive, 3)).astype(np.float32)
+    rgb = np.full((n_alive, 3), 0.5, np.float32)
+    opacity = np.full((n_alive, 1), 2.0, np.float32)  # sigmoid ~ 0.88
+    scales = np.full((n_alive, 3), np.log(scale), np.float32)
+    quat = np.tile(
+        np.array([1.0, 0, 0, 0], np.float32), (n_alive, 1)
+    )
+    scene = GaussianScene.create(
+        xyz, rgb, opacity, scales, quat, capacity=capacity
+    )
+    state = T.init_train_state(scene, config)
+    alive = np.asarray(state.alive)
+    uv = np.zeros((capacity, 2), np.float32)
+    uv[alive] = 1.0  # |uv_grad_avg| = sqrt(2) >> uv_grad_threshold
+    cnt = np.zeros((capacity,), np.int32)
+    cnt[alive] = 1
+    return state._replace(
+        uv_grad_accum=jnp.asarray(uv), grad_accum_count=jnp.asarray(cnt)
+    )
+
+
+def test_adc_clone_drains_beyond_one_batch():
+    """n_clone > cap//4 must clone EVERY candidate (batched while_loop),
+    not silently defer the tail (VERDICT r2 item 8)."""
+    cfg = SplatConfig(
+        splat_capacity=1 << 17, use_fractional_densification=False,
+        use_split=False, use_delete=False,
+    )
+    cap, n = 64, 24  # max_new = 16 < 24 candidates -> needs 2 batches
+    state = _dense_state(n, cap, scale=0.005, config=cfg)  # small -> clone
+    state, stats = T.adaptive_density_control(
+        state, jax.random.PRNGKey(0), jnp.float32(1000.0), config=cfg
+    )
+    assert int(stats["n_clone"]) == n
+    assert int(stats["clone_deferred"]) == 0
+    assert not bool(stats["cap_hit"])
+    assert int(stats["n_alive"]) == 2 * n
+
+
+def test_adc_clone_free_slot_exhaustion_is_reported():
+    cfg = SplatConfig(
+        splat_capacity=1 << 17, use_fractional_densification=False,
+        use_split=False, use_delete=False,
+    )
+    cap, n = 32, 24  # only 8 free slots for 24 candidates
+    state = _dense_state(n, cap, scale=0.005, config=cfg)
+    state, stats = T.adaptive_density_control(
+        state, jax.random.PRNGKey(0), jnp.float32(1000.0), config=cfg
+    )
+    assert int(stats["clone_deferred"]) == 24 - 8
+    assert bool(stats["cap_hit"])
+    assert int(stats["n_alive"]) == 32  # every free slot consumed
+
+
+def test_adc_split_drains_beyond_one_batch():
+    """Splits beyond one batch all process; each original slot is
+    overwritten with sample 1 and a free slot takes sample 2."""
+    cfg = SplatConfig(
+        splat_capacity=1 << 17, use_fractional_densification=False,
+        use_clone=False, use_delete=False,
+    )
+    cap, n = 64, 24  # max_new = 16 < 24 split sources
+    state = _dense_state(n, cap, scale=0.05, config=cfg)  # big -> split
+    xyz_before = np.asarray(state.params["xyz"]).copy()
+    state, stats = T.adaptive_density_control(
+        state, jax.random.PRNGKey(0), jnp.float32(1000.0), config=cfg
+    )
+    assert int(stats["n_split"]) == n
+    assert int(stats["split_deferred"]) == 0
+    assert not bool(stats["cap_hit"])
+    assert int(stats["n_alive"]) == 2 * n
+    # scales shrank by the split factor on every split slot
+    alive = np.asarray(state.alive)
+    s = np.exp(np.asarray(state.params["scale"])[alive])
+    np.testing.assert_allclose(s, 0.05 / cfg.split_scale_factor, rtol=1e-5)
+    # sample positions moved off the originals
+    assert not np.allclose(
+        np.asarray(state.params["xyz"])[:n], xyz_before[:n]
+    )
