@@ -121,6 +121,18 @@ class SplatConfig:
     # max_splat_capacity clamp stops capacities from growing any further —
     # degraded rendering beats a silent training stall (ADVICE r2).
     overflow_updates: bool = False
+    # --- synthetic benchmark scene (train.py `synthetic` preset) -----------
+    # target/secret point count (the gt renderer's scene density)
+    synthetic_points: int = 20000
+    # number of ring views (every test_split_ratio-th is held out)
+    synthetic_images: int = 48
+    # train-init point count; 0 initialises from every synthetic point.
+    # A sparse init against the dense secret scene forces ADC to grow the
+    # scene toward reference-scale gaussian counts (VERDICT r2 item 3)
+    synthetic_init_points: int = 0
+    # synthetic camera resolution
+    synthetic_width: int = 640
+    synthetic_height: int = 480
     # random seed
     seed: int = 0
     # number of data-parallel devices (cameras per step); 1 = reference
@@ -224,6 +236,12 @@ FIELD_HELP = {
     "packed bf16 pairs; ~0.4%% gradient noise, ~25%% faster step)",
     "overflow_updates": "apply updates even on tier-capacity-overflowing "
     "frames (runner flips this on at the max_splat_capacity ceiling)",
+    "synthetic_points": "synthetic preset: secret-scene (gt) point count",
+    "synthetic_images": "synthetic preset: number of ring views",
+    "synthetic_init_points": "synthetic preset: train-init point count "
+    "(0 = all synthetic points; a sparse init forces ADC growth)",
+    "synthetic_width": "synthetic preset: image width",
+    "synthetic_height": "synthetic preset: image height",
     "seed": "random seed",
     "data_parallel": "data-parallel devices (cameras per step); 1 = "
     "reference semantics",

@@ -41,9 +41,29 @@ class TrainingRunner:
         self.rng = np.random.default_rng(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
 
-        capacity = derive_capacity(data.xyz.shape[0], config)
+        # synthetic reference-scale runs: train from a sparse SUBSET of the
+        # secret scene's points so ADC must grow the scene (VERDICT r2
+        # item 3); the gt renderer still uses every point
+        init_data = data
+        if (
+            synthetic
+            and 0 < config.synthetic_init_points < data.xyz.shape[0]
+        ):
+            import dataclasses as _dc
+
+            sel = np.sort(
+                self.rng.choice(
+                    data.xyz.shape[0], config.synthetic_init_points,
+                    replace=False,
+                )
+            )
+            init_data = _dc.replace(
+                data, xyz=data.xyz[sel], rgb=data.rgb[sel]
+            )
+
+        capacity = derive_capacity(init_data.xyz.shape[0], config)
         print(
-            f"points: {data.xyz.shape[0]}  capacity: {capacity}  "
+            f"points: {init_data.xyz.shape[0]}  capacity: {capacity}  "
             f"splat_capacity: {config.splat_capacity}"
         )
         if config.load_checkpoint and config.checkpoint_path:
@@ -51,7 +71,7 @@ class TrainingRunner:
                 config.checkpoint_path, config
             )
         else:
-            scene = create_scene(data, config, capacity)
+            scene = create_scene(init_data, config, capacity)
             self.state = T.init_train_state(scene, config)
             self.start_iter = 0
 

@@ -56,7 +56,9 @@ def build_parser():
     return parser
 
 
-def make_synthetic_scene_data(n_points=20000, n_images=48, seed=0):
+def make_synthetic_scene_data(
+    n_points=20000, n_images=48, seed=0, width=640, height=480
+):
     # 48 ring views (7.5 degrees apart, 6 held out for test): with only 16
     # views the trainer overfits hard — train PSNR ~38 while the 22.5
     # degrees-away test views collapse — which measures the benchmark's
@@ -71,8 +73,9 @@ def make_synthetic_scene_data(n_points=20000, n_images=48, seed=0):
     from gaussian_splatting_tpu.geometry import SH_0
 
     rgb = rgb_raw.astype(np.float32) / 255.0 / SH_0
-    W, H = 640, 480
-    K = np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]], np.float32)
+    W, H = width, height
+    f = 500.0 * (W / 640.0)  # keep the 640px field of view at any size
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
     cameras = {0: CameraInfo(K=K, width=W, height=H)}
     images = []
     for i in range(n_images):
@@ -114,7 +117,13 @@ def main(argv=None):
     from gaussian_splatting_tpu.runner import TrainingRunner
 
     if args.preset == "synthetic":
-        data = make_synthetic_scene_data(seed=config.seed)
+        data = make_synthetic_scene_data(
+            n_points=config.synthetic_points,
+            n_images=config.synthetic_images,
+            seed=config.seed,
+            width=config.synthetic_width,
+            height=config.synthetic_height,
+        )
         synthetic = True
     else:
         from gaussian_splatting_tpu.dataio.dataset import ColmapDataset
