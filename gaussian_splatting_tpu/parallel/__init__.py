@@ -2,5 +2,18 @@ from gaussian_splatting_tpu.parallel.mesh import (
     make_mesh,
     dp_train_step,
 )
+from gaussian_splatting_tpu.parallel.gsharded import (
+    make_model_mesh,
+    mp_render,
+    mp_train_step,
+    shard_state,
+)
 
-__all__ = ["make_mesh", "dp_train_step"]
+__all__ = [
+    "make_mesh",
+    "dp_train_step",
+    "make_model_mesh",
+    "mp_render",
+    "mp_train_step",
+    "shard_state",
+]
