@@ -138,6 +138,7 @@ class SplatConfig:
     # number of data-parallel devices (cameras per step); 1 = reference
     # semantics (one camera per iteration)
     data_parallel: int = 1
+    model_parallel: int = 1
 
     def __post_init__(self):
         # configs are static jit arguments: tier_capacities must be
@@ -245,6 +246,8 @@ FIELD_HELP = {
     "seed": "random seed",
     "data_parallel": "data-parallel devices (cameras per step); 1 = "
     "reference semantics",
+    "model_parallel": "gaussian-sharded devices (scene + image bands "
+    "sharded over the mesh); 1 = single-device",
 }
 
 

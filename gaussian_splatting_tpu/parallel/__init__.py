@@ -4,6 +4,7 @@ from gaussian_splatting_tpu.parallel.mesh import (
 )
 from gaussian_splatting_tpu.parallel.gsharded import (
     make_model_mesh,
+    mp_eval_step,
     mp_render,
     mp_train_step,
     shard_state,
@@ -13,6 +14,7 @@ __all__ = [
     "make_mesh",
     "dp_train_step",
     "make_model_mesh",
+    "mp_eval_step",
     "mp_render",
     "mp_train_step",
     "shard_state",

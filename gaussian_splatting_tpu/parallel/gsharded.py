@@ -263,6 +263,42 @@ def mp_render(
     static_argnames=(
         "config", "camera_hw", "n_sh_band", "mesh", "axis", "interpret",
     ),
+)
+def mp_eval_step(
+    state,
+    gt_image: jax.Array,
+    camera_K: jax.Array,
+    camera_T_world: jax.Array,
+    *,
+    config,
+    camera_hw: tuple,
+    n_sh_band: int,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+    interpret=None,
+):
+    """Model-parallel analogue of trainer.eval_step (test PSNR/SSIM)."""
+    from gaussian_splatting_tpu.losses import eval_psnr_ssim
+
+    if gt_image.dtype == jnp.uint8:
+        gt_image = gt_image.astype(jnp.float32) * (
+            1.0 / config.saturated_pixel_value
+        )
+    image, _visible, info = mp_render(
+        state.params, state.alive, camera_T_world, camera_K,
+        config=config, camera_hw=camera_hw, n_sh_band=n_sh_band,
+        background_rgb=jnp.zeros(3, jnp.float32), mesh=mesh, axis=axis,
+        interpret=interpret,
+    )
+    psnr, ssim_val = eval_psnr_ssim(image, gt_image)
+    return image, psnr, ssim_val, info["overflow"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "camera_hw", "n_sh_band", "mesh", "axis", "interpret",
+    ),
     donate_argnums=(0,),
 )
 def mp_train_step(

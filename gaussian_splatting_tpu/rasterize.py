@@ -52,6 +52,49 @@ def _active_sh_coeffs(n_sh_band: int) -> int:
     return {0: 1, 1: 4, 2: 9, 3: 16}[n_sh_band]
 
 
+def _check_inputs(params: dict, alive, camera_T_world, camera):
+    """Static shape/dtype validation at the API boundary.
+
+    TPU analogue of the reference's CHECK_VALID_INPUT / CHECK_FLOAT_TENSOR
+    launcher macros (src/checks.cuh:1-16): every kernel there validates its
+    tensors; here the jit boundary is the one place shapes are visible, so
+    one pass covers the whole pipeline.  Costs nothing at runtime (shapes
+    are static under jit)."""
+    n = params["xyz"].shape[0]
+    want = dict(
+        xyz=(n, 3), rgb=(n, 3), opacity=(n, 1), scale=(n, 3),
+        quaternion=(n, 4),
+    )
+    for k, s in want.items():
+        if k not in params:
+            raise ValueError(f"params missing '{k}'")
+        if tuple(params[k].shape) != s:
+            raise ValueError(
+                f"params['{k}'] shape {tuple(params[k].shape)} != {s}"
+            )
+        if not jnp.issubdtype(params[k].dtype, jnp.floating):
+            raise TypeError(
+                f"params['{k}'] dtype {params[k].dtype} is not floating"
+            )
+    sh = params.get("sh")
+    if sh is not None and (
+        sh.ndim != 3 or sh.shape[0] != n or sh.shape[1] != 3
+    ):
+        raise ValueError(
+            f"params['sh'] shape {tuple(sh.shape)} != ({n}, 3, n_coeffs)"
+        )
+    if alive.shape != (n,) or alive.dtype != jnp.bool_:
+        raise ValueError(
+            f"alive must be ({n},) bool, got {alive.shape} {alive.dtype}"
+        )
+    if tuple(camera_T_world.shape) != (4, 4):
+        raise ValueError(
+            f"camera_T_world shape {tuple(camera_T_world.shape)} != (4, 4)"
+        )
+    if tuple(camera.K.shape) != (3, 3):
+        raise ValueError(f"camera.K shape {tuple(camera.K.shape)} != (3, 3)")
+
+
 def rasterize(
     params: dict,
     alive: jax.Array,
@@ -80,6 +123,7 @@ def rasterize(
       gradients the trainer accumulates for densification (replacing the
       reference's ``uv.retain_grad()``, splat_py/trainer.py:360).
     """
+    _check_inputs(params, alive, camera_T_world, camera)
     xyz = params["xyz"]
     grid = TileGrid(camera.height, camera.width)
 
@@ -200,6 +244,7 @@ def render_depth(
 
     Mirrors splat_py/depth.py:17-88 (note: no far-plane cull there).
     """
+    _check_inputs(params, alive, camera_T_world, camera)
     grid = TileGrid(camera.height, camera.width)
     xyzT = params["xyz"].T
     xc, yc, zc = geo.transform_rows(

@@ -121,6 +121,33 @@ class TrainingRunner:
             self.mesh = make_mesh(config.data_parallel)
             self.state = replicate_state(self.state, self.mesh)
 
+        # gaussian-sharded model parallelism: the scene (and optimizer
+        # state) sharded over the mesh, each device rendering its own
+        # tile-row band (parallel/gsharded.py)
+        self.mp_mesh = None
+        if config.model_parallel > 1:
+            from gaussian_splatting_tpu.parallel import (
+                make_model_mesh,
+                shard_state,
+            )
+
+            if config.data_parallel > 1:
+                raise ValueError(
+                    "data_parallel and model_parallel are mutually "
+                    "exclusive for now"
+                )
+            if config.model_parallel > len(jax.devices()):
+                raise ValueError(
+                    f"model_parallel={config.model_parallel} but only "
+                    f"{len(jax.devices())} devices are available"
+                )
+            if self.state.alive.shape[0] % config.model_parallel:
+                raise ValueError(
+                    "gaussian capacity must divide model_parallel"
+                )
+            self.mp_mesh = make_model_mesh(config.model_parallel)
+            self.state = shard_state(self.state, self.mp_mesh)
+
         self._synthetic_gt()
 
     # -- data access --------------------------------------------------------
@@ -347,12 +374,17 @@ class TrainingRunner:
         return info
 
     def _rereplicate(self):
-        """Keep the state replicated after non-DP jitted mutations (ADC,
-        opacity reset) when running on a mesh."""
+        """Keep the state correctly placed after non-step jitted mutations
+        (ADC, opacity reset) when running on a mesh: replicated in DP mode,
+        slot-sharded in MP mode."""
         if self.mesh is not None:
             from gaussian_splatting_tpu.parallel.mesh import replicate_state
 
             self.state = replicate_state(self.state, self.mesh)
+        if self.mp_mesh is not None:
+            from gaussian_splatting_tpu.parallel import shard_state
+
+            self.state = shard_state(self.state, self.mp_mesh)
 
     def _eval_config(self) -> SplatConfig:
         """Evals render with the un-bucketed default capacities: the train
@@ -363,6 +395,24 @@ class TrainingRunner:
         per SH band, amortised by the persistent cache."""
         return self.config.replace(tier_capacities=None, visible_capacity=0)
 
+    def _eval_one(self, idx, cam, im, cfg, band):
+        """One test view through the mode-appropriate eval step."""
+        if self.mp_mesh is not None:
+            from gaussian_splatting_tpu.parallel import mp_eval_step
+
+            return mp_eval_step(
+                self.state, self.gt_image_dev(idx),
+                jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
+                config=cfg, camera_hw=(cam.height, cam.width),
+                n_sh_band=band, mesh=self.mp_mesh,
+            )
+        return T.eval_step(
+            self.state, self.gt_image_dev(idx),
+            jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
+            config=cfg, camera_hw=(cam.height, cam.width),
+            n_sh_band=band,
+        )
+
     def evaluate(self, save_images=False, iteration=0):
         cfg = self._eval_config()
         psnrs, ssims = [], []
@@ -370,11 +420,8 @@ class TrainingRunner:
         for idx in self.test_split:
             im = self.data.images[idx]
             cam = self.data.cameras[im.camera_id]
-            img, psnr, ssim, eoverflow = T.eval_step(
-                self.state, self.gt_image_dev(idx),
-                jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
-                config=cfg, camera_hw=(cam.height, cam.width),
-                n_sh_band=band,
+            img, psnr, ssim, eoverflow = self._eval_one(
+                idx, cam, im, cfg, band
             )
             if bool(eoverflow):
                 print(
@@ -403,11 +450,9 @@ class TrainingRunner:
         idx = int(self.train_split[0])
         im = self.data.images[idx]
         cam = self.data.cameras[im.camera_id]
-        img, _, _, _ = T.eval_step(
-            self.state, self.gt_image_dev(idx),
-            jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
-            config=self._eval_config(), camera_hw=(cam.height, cam.width),
-            n_sh_band=T.sh_band_for_iteration(self.config, i),
+        img, _, _, _ = self._eval_one(
+            idx, cam, im, self._eval_config(),
+            T.sh_band_for_iteration(self.config, i),
         )
         self._save_image(np.asarray(img), f"debug_iter{i}.png")
 
@@ -450,6 +495,23 @@ class TrainingRunner:
                 cfg = self.config = new_cfg
             if self.mesh is not None:
                 info = self._dp_step(i, band, cfg)
+            elif self.mp_mesh is not None:
+                from gaussian_splatting_tpu.parallel import mp_train_step
+
+                idx = int(self.rng.choice(self.train_split))
+                im = self.data.images[idx]
+                cam = self.data.cameras[im.camera_id]
+                self.state, info = mp_train_step(
+                    self.state,
+                    self.gt_image_dev(idx),
+                    jnp.asarray(cam.K),
+                    jnp.asarray(im.camera_T_world),
+                    self.background_for(i),
+                    config=cfg,
+                    camera_hw=(cam.height, cam.width),
+                    n_sh_band=band,
+                    mesh=self.mp_mesh,
+                )
             else:
                 idx = int(self.rng.choice(self.train_split))
                 im = self.data.images[idx]
