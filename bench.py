@@ -38,13 +38,52 @@ def main():
     H, W = 840, 1296
 
     rng = np.random.default_rng(0)
-    xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + np.array(
-        [0, 0, 12.0], np.float32
+    import os
+
+    sample_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_scene_sample.npz",
     )
-    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32) / 0.2821
-    opacity = np.zeros((n, 1), np.float32)
-    scale = np.log(rng.uniform(0.005, 0.03, (n, 3))).astype(np.float32)
-    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    pose_np = np.eye(4, dtype=np.float32)
+    if os.path.exists(sample_path):
+        # trained-scene workload (VERDICT r2 item 5): bootstrap-resample a
+        # committed 50k subsample of a reference-scale trained checkpoint
+        # (experiments/make_bench_scene.py) — heavy-tailed scales and
+        # surface-clustered positions, so tile depth matches training
+        s = np.load(sample_path)
+        pick = rng.integers(0, s["xyz"].shape[0], n)
+        jitter = rng.normal(size=(n, 3)).astype(np.float32)
+        xyz = s["xyz"][pick] + 0.5 * s["nn"][pick][:, None] * jitter
+        scale = s["scale"][pick].astype(np.float32)
+        opacity = s["opacity"][pick].astype(np.float32)
+        quat = s["quat"][pick].astype(np.float32)
+        rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32) / 0.2821
+        # frame the scene: camera on -z of the centroid at 2.2x the
+        # bounding radius (the sample's own frame is the synthetic ring's)
+        centroid = xyz.mean(0)
+        r = float(np.quantile(np.linalg.norm(xyz - centroid, axis=1), 0.95))
+        pose_np[:3, 3] = -centroid + np.array(
+            [0, 0, 2.2 * r], np.float32
+        )
+        print(
+            f"probe: trained-scene bootstrap (ckpt iter "
+            f"{int(s['iteration'])}, {int(s['n_alive'])} alive at source, "
+            f"r95={r:.2f})",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            "probe: bench_scene_sample.npz missing — i.i.d. synthetic "
+            "fallback (shallower tiles than a trained scene)",
+            file=sys.stderr,
+        )
+        xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + np.array(
+            [0, 0, 12.0], np.float32
+        )
+        rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32) / 0.2821
+        opacity = np.zeros((n, 1), np.float32)
+        scale = np.log(rng.uniform(0.005, 0.03, (n, 3))).astype(np.float32)
+        quat = rng.normal(size=(n, 4)).astype(np.float32)
     scene = GaussianScene.create(
         xyz, rgb, opacity, scale, quat, capacity=1 << 21
     )
@@ -52,7 +91,7 @@ def main():
     K = jnp.array(
         [[1100.0, 0, W / 2], [0, 1100.0, H / 2], [0, 0, 1]], jnp.float32
     )
-    pose = jnp.eye(4, dtype=jnp.float32)
+    pose = jnp.asarray(pose_np)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
 
@@ -103,6 +142,21 @@ def main():
     area = np.where(vis, np.maximum(hi_x - lo_x, 0) * np.maximum(
         hi_y - lo_y, 0), 0)
     n_visible = int((area > 0).sum())
+    # per-tile splat depth (candidate windows; difference-array + 2D cumsum)
+    # — the stat VERDICT r2 item 5 wants surfaced: deep tiles are where the
+    # compositing walk and the sort earn their keep
+    dgrid = np.zeros((grid.y_tiles + 1, grid.x_tiles + 1), np.int64)
+    m = area > 0
+    np.add.at(dgrid, (lo_y[m], lo_x[m]), 1)
+    np.add.at(dgrid, (lo_y[m], hi_x[m]), -1)
+    np.add.at(dgrid, (hi_y[m], lo_x[m]), -1)
+    np.add.at(dgrid, (hi_y[m], hi_x[m]), 1)
+    td = dgrid.cumsum(0).cumsum(1)[: grid.y_tiles, : grid.x_tiles].ravel()
+    print(
+        f"probe: tile depth mean={td.mean():.0f} p50={np.median(td):.0f} "
+        f"p95={np.quantile(td, 0.95):.0f} max={td.max()}",
+        file=sys.stderr,
+    )
     members = []
     prev = 0
     for k in cu.TIER_CELLS:
