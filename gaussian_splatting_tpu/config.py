@@ -139,6 +139,11 @@ class SplatConfig:
     # semantics (one camera per iteration)
     data_parallel: int = 1
     model_parallel: int = 1
+    # train this many steps per device dispatch (lax.scan inside one
+    # jit; trainer.train_steps_scan).  1 = the reference's per-step
+    # Python loop; >1 amortises per-dispatch host latency and needs
+    # the train images pre-staged on device (single-device mode only)
+    steps_per_dispatch: int = 1
 
     def __post_init__(self):
         # configs are static jit arguments: tier_capacities must be
@@ -248,6 +253,8 @@ FIELD_HELP = {
     "reference semantics",
     "model_parallel": "gaussian-sharded devices (scene + image bands "
     "sharded over the mesh); 1 = single-device",
+    "steps_per_dispatch": "steps per device dispatch (lax.scan chunks "
+    "between schedule events); 1 = per-step dispatch",
 }
 
 

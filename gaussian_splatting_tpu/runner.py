@@ -310,6 +310,80 @@ class TrainingRunner:
         self._tier_watermark.clear()
         return cfg
 
+    # -- scan-chunk dispatch ---------------------------------------------------
+
+    def _ensure_scan_stacks(self):
+        """Stage the train split's cameras + uint8 gt images as device
+        stacks for trainer.train_steps_scan (one dispatch per chunk)."""
+        if hasattr(self, "_scan_stacks"):
+            return self._scan_stacks
+        sizes = {
+            (self.data.cameras[self.data.images[int(i)].camera_id].height,
+             self.data.cameras[self.data.images[int(i)].camera_id].width)
+            for i in self.train_split
+        }
+        if len(sizes) > 1:
+            raise ValueError(
+                "steps_per_dispatch>1 requires a single camera resolution; "
+                f"got {sizes}"
+            )
+        gts, Ks, poses = [], [], []
+        for i in self.train_split:
+            im = self.data.images[int(i)]
+            cam = self.data.cameras[im.camera_id]
+            gts.append(np.asarray(self.gt_image_dev(int(i))))
+            Ks.append(np.asarray(cam.K, np.float32))
+            poses.append(np.asarray(im.camera_T_world, np.float32))
+        self._scan_stacks = (
+            jnp.asarray(np.stack(gts)),
+            jnp.asarray(np.stack(Ks)),
+            jnp.asarray(np.stack(poses)),
+            sizes.pop(),
+        )
+        return self._scan_stacks
+
+    def _next_event_distance(self, i: int) -> int:
+        """Steps until the next host-side schedule event STRICTLY after i
+        (eval, rebucket, print, ADC, opacity reset, debug image,
+        checkpoint, end of training)."""
+        cfg = self.config
+
+        def next_multiple(interval, offset=0):
+            if interval <= 0:
+                return cfg.num_iters
+            k = (i - offset) // interval + 1
+            return k * interval + offset
+
+        cands = [
+            cfg.num_iters,
+            next_multiple(cfg.test_eval_interval),
+            next_multiple(500, 499),  # rebucket check
+            next_multiple(cfg.print_interval),
+            next_multiple(cfg.adaptive_control_interval),
+            next_multiple(cfg.reset_opacity_interval),
+            next_multiple(cfg.save_debug_image_interval),
+            next_multiple(cfg.checkpoint_interval),
+        ]
+        return max(min(cands) - i, 1)
+
+    def _scan_chunk(self, i: int, band: int, cfg: SplatConfig) -> dict:
+        """Dispatch cfg.steps_per_dispatch steps as ONE scanned executable."""
+        gt_stack, K_stack, pose_stack, (h, w) = self._ensure_scan_stacks()
+        k = cfg.steps_per_dispatch
+        idxs = self.rng.integers(0, len(self.train_split), size=k)
+        cam_idx = jnp.asarray(
+            np.asarray([int(j) for j in idxs], np.int32)
+        )
+        bgs = jnp.asarray(
+            np.stack([np.asarray(self.background_for(i + t))
+                      for t in range(k)])
+        )
+        self.state, infos = T.train_steps_scan(
+            self.state, gt_stack, K_stack, pose_stack, cam_idx, bgs,
+            config=cfg, camera_hw=(h, w), n_sh_band=band, n_steps=k,
+        )
+        return infos
+
     # -- de-synced metrics ----------------------------------------------------
 
     def _process_info(self, i: int, info: dict):
@@ -335,7 +409,15 @@ class TrainingRunner:
             upto is None or len(self._pending) > upto
         ):
             i, info = self._pending.pop(0)
-            self._process_info(i, jax.device_get(info))
+            info = jax.device_get(info)
+            if np.ndim(info["psnr"]) >= 1:  # a scanned chunk: (K,) leaves
+                for t in range(len(info["psnr"])):
+                    self._process_info(
+                        i + t,
+                        {k: v[t] for k, v in info.items()},
+                    )
+            else:
+                self._process_info(i, info)
 
     # -- main loop -----------------------------------------------------------
 
@@ -458,7 +540,8 @@ class TrainingRunner:
 
     def train(self):
         cfg = self.config
-        for i in range(self.start_iter, cfg.num_iters):
+        i = self.start_iter
+        while i < cfg.num_iters:
             if i % cfg.test_eval_interval == 0:
                 self._drain()
                 psnr, ssim = self.evaluate(iteration=i)
@@ -493,8 +576,18 @@ class TrainingRunner:
                     # overflow semantics (flips back on if it persists)
                     new_cfg = new_cfg.replace(overflow_updates=False)
                 cfg = self.config = new_cfg
+            step_count = 1
             if self.mesh is not None:
                 info = self._dp_step(i, band, cfg)
+            elif (
+                self.mp_mesh is None
+                and cfg.steps_per_dispatch > 1
+                and self._next_event_distance(i) >= cfg.steps_per_dispatch
+            ):
+                # no schedule event inside the chunk: train K steps in one
+                # scanned dispatch (trainer.train_steps_scan)
+                info = self._scan_chunk(i, band, cfg)
+                step_count = cfg.steps_per_dispatch
             elif self.mp_mesh is not None:
                 from gaussian_splatting_tpu.parallel import mp_train_step
 
@@ -587,6 +680,8 @@ class TrainingRunner:
                     os.path.join(cfg.output_dir, f"ckpt_iter_{i}.npz"),
                     self.state, i, self.key,
                 )
+
+            i += step_count
 
         self._drain()
         psnr, ssim = self.evaluate(

@@ -82,6 +82,25 @@ def train_step(
 ):
     """One optimisation step on one camera (trainer.py:348-387)."""
     del use_background  # bg value is in background_rgb; kept for cache keys
+    return _train_step_impl(
+        state, gt_image, camera_K, camera_T_world, background_rgb,
+        config=config, camera_hw=camera_hw, n_sh_band=n_sh_band,
+        interpret=interpret,
+    )
+
+
+def _train_step_impl(
+    state: TrainState,
+    gt_image: jax.Array,
+    camera_K: jax.Array,
+    camera_T_world: jax.Array,
+    background_rgb: jax.Array,
+    *,
+    config: SplatConfig,
+    camera_hw: tuple,
+    n_sh_band: int,
+    interpret: Optional[bool] = None,
+):
     h, w = camera_hw
     camera = Camera(K=camera_K, width=w, height=h)
     # gt images live on device as uint8 (the reference keeps them GPU-
@@ -167,6 +186,64 @@ def train_step(
         overflow=overflow, truncated=truncated,
         n_alive=jnp.sum(state.alive.astype(jnp.int32)),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "camera_hw", "n_sh_band", "n_steps", "interpret",
+    ),
+    donate_argnums=(0,),
+)
+def train_steps_scan(
+    state: TrainState,
+    gt_stack: jax.Array,  # (M, H, W, 3) uint8, device-resident
+    K_stack: jax.Array,  # (M, 3, 3)
+    pose_stack: jax.Array,  # (M, 4, 4)
+    cam_idx: jax.Array,  # (n_steps,) i32 — which camera each step trains
+    bg_stack: jax.Array,  # (n_steps, 3) per-step background colour
+    *,
+    config: SplatConfig,
+    camera_hw: tuple,
+    n_sh_band: int,
+    n_steps: int,
+    interpret: Optional[bool] = None,
+):
+    """``n_steps`` sequential optimisation steps in ONE dispatch.
+
+    Bitwise-identical to calling ``train_step`` n_steps times (the scan
+    body is the same ``_train_step_impl``), but the host submits one
+    executable instead of n_steps — a TPU-first replacement for the
+    reference's per-step Python loop (splat_py/trainer.py:389-463) that
+    amortises per-dispatch latency.  The runner uses it between schedule
+    boundaries (eval / ADC / opacity reset / rebucket all stay host-side);
+    ground-truth images must be pre-staged as one (M, H, W, 3) uint8
+    device stack.  Per-step info scalars come back stacked (n_steps,).
+    """
+
+    def body(state, xs):
+        idx, bg = xs
+        gt = jax.lax.dynamic_index_in_dim(
+            gt_stack, idx, axis=0, keepdims=False
+        )
+        K = jax.lax.dynamic_index_in_dim(
+            K_stack, idx, axis=0, keepdims=False
+        )
+        pose = jax.lax.dynamic_index_in_dim(
+            pose_stack, idx, axis=0, keepdims=False
+        )
+        state, info = _train_step_impl(
+            state, gt, K, pose, bg,
+            config=config, camera_hw=camera_hw, n_sh_band=n_sh_band,
+            interpret=interpret,
+        )
+        return state, info
+
+    assert cam_idx.shape == (n_steps,), cam_idx.shape
+    state, infos = jax.lax.scan(
+        body, state, (cam_idx.astype(jnp.int32), bg_stack), length=n_steps
+    )
+    return state, infos
 
 
 # ---------------------------------------------------------------------------

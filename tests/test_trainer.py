@@ -280,3 +280,45 @@ def test_adc_split_drains_beyond_one_batch():
     assert not np.allclose(
         np.asarray(state.params["xyz"])[:n], xyz_before[:n]
     )
+
+
+def test_train_steps_scan_matches_sequential(setup):
+    """K scanned steps in one dispatch == K sequential train_steps
+    (same _train_step_impl body; bitwise on CPU)."""
+    state, gt, cam, pose = setup
+    params = dict(state.params)
+    params["rgb"] = params["rgb"] * 0.5
+    state = state._replace(params=params)
+    gt_u8 = (np.clip(np.asarray(gt), 0, 1) * 255).astype(np.uint8)
+
+    seq = jax.tree_util.tree_map(jnp.copy, state)
+    seq_losses = []
+    for _ in range(3):
+        seq, info = T.train_step(
+            seq, jnp.asarray(gt_u8), cam.K, pose,
+            jnp.zeros(3, jnp.float32),
+            config=CFG, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
+        )
+        seq_losses.append(float(info["loss"]))
+
+    scanned, infos = T.train_steps_scan(
+        state,
+        jnp.asarray(gt_u8)[None],          # (M=1, H, W, 3) uint8
+        jnp.asarray(cam.K)[None],
+        jnp.asarray(pose)[None],
+        jnp.zeros((3,), jnp.int32),        # all steps train camera 0
+        jnp.zeros((3, 3), jnp.float32),
+        config=CFG, camera_hw=CAM_HW, n_sh_band=0, n_steps=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(infos["loss"]), np.asarray(seq_losses), rtol=0, atol=0
+    )
+    for k in seq.params:
+        np.testing.assert_array_equal(
+            np.asarray(scanned.params[k]), np.asarray(seq.params[k]),
+            err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(scanned.grad_accum_count),
+        np.asarray(seq.grad_accum_count),
+    )
