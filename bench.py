@@ -181,28 +181,37 @@ def main():
     )
     state = T.init_train_state(scene, config)
 
-    def step(state):
-        return T.train_step(
-            state, gt, K, pose, bg, config=config, camera_hw=(H, W),
-            n_sh_band=0, use_background=False,
+    # the production dispatch path at steps_per_dispatch=10: K steps per
+    # executable via lax.scan (trainer.train_steps_scan) — amortises
+    # per-dispatch host/tunnel latency exactly like a real training run
+    n_iters = 10
+    gt_u8 = jnp.asarray(
+        (np.asarray(gt) * 255).astype(np.uint8)
+    )[None]  # (M=1, H, W, 3)
+
+    def chunk(state):
+        return T.train_steps_scan(
+            state, gt_u8, K[None], pose[None],
+            jnp.zeros((n_iters,), jnp.int32),
+            jnp.broadcast_to(bg, (n_iters, 3)),
+            config=config, camera_hw=(H, W), n_sh_band=0, n_steps=n_iters,
         )
 
-    state, info = step(state)  # compile
+    state, infos = chunk(state)  # compile
     # NOTE: jax.block_until_ready does not reliably block on the tunneled
     # axon backend; a scalar device_get is the only trustworthy sync.
-    float(info["loss"])
-    if bool(info["overflow"]):
+    float(infos["loss"][-1])
+    if bool(infos["overflow"][0]):
         print(
             f"WARNING: bench layout overflowed (visible="
-            f"{int(info['num_visible'])}, splats={int(info['num_splats'])})",
+            f"{int(infos['num_visible'][0])}, "
+            f"splats={int(infos['num_splats'][0])})",
             file=sys.stderr,
         )
 
-    n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, info = step(state)
-    float(info["loss"])
+    state, infos = chunk(state)
+    float(infos["loss"][-1])
     ms = (time.perf_counter() - t0) / n_iters * 1e3
 
     print(
