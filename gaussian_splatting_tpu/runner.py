@@ -182,6 +182,14 @@ class TrainingRunner:
                 background_rgb=jnp.zeros(3, jnp.float32), n_sh_band=0,
                 splat_capacity=cfg.splat_capacity, chunk=cfg.chunk,
             )
+            if bool(res.overflow):
+                # a clipped gt would silently cap the achievable PSNR of
+                # the whole run (reference-scale secret scenes are dense)
+                print(
+                    f"  WARNING: synthetic gt view {i} overflowed the "
+                    "default tier capacities — raise splat_capacity/"
+                    "max_splat_capacity for a faithful target"
+                )
             self._gt_cache[i] = np.clip(np.asarray(res.image), 0.0, 1.0)
 
     def gt_image(self, idx: int) -> np.ndarray:
