@@ -3,6 +3,8 @@ from gaussian_splatting_tpu.parallel.mesh import (
     dp_train_step,
 )
 from gaussian_splatting_tpu.parallel.gsharded import (
+    dp_mp_train_step,
+    make_2d_mesh,
     make_model_mesh,
     mp_eval_step,
     mp_render,
@@ -13,6 +15,8 @@ from gaussian_splatting_tpu.parallel.gsharded import (
 __all__ = [
     "make_mesh",
     "dp_train_step",
+    "dp_mp_train_step",
+    "make_2d_mesh",
     "make_model_mesh",
     "mp_eval_step",
     "mp_render",

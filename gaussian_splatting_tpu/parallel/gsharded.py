@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussian_splatting_tpu import geometry as geo
@@ -256,6 +257,155 @@ def mp_render(
         truncated=jnp.any(per_band["truncated"] > 0),
     )
     return image, visible, info
+
+
+def make_2d_mesh(d_data: int, d_model: int, axes=("data", MODEL_AXIS)):
+    """(d_data, d_model) mesh: cameras over ICI axis 0, scene shards over
+    axis 1."""
+    devs = np.array(jax.devices()[: d_data * d_model]).reshape(
+        d_data, d_model
+    )
+    return Mesh(devs, axes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "camera_hw", "n_sh_band", "mesh", "interpret",
+    ),
+    donate_argnums=(0,),
+)
+def dp_mp_train_step(
+    state,
+    gt_batch: jax.Array,  # (Dd, H, W, 3) f32 or uint8
+    K_batch: jax.Array,  # (Dd, 3, 3)
+    pose_batch: jax.Array,  # (Dd, 4, 4)
+    bg_batch: jax.Array,  # (Dd, 3)
+    *,
+    config,
+    camera_hw: tuple,
+    n_sh_band: int,
+    mesh: Mesh,  # 2D ("data", "model")
+    interpret=None,
+):
+    """One step on a 2D mesh: Dd cameras x Dm gaussian shards.
+
+    Composes both parallel axes: the scene/optimizer state is sharded over
+    "model" and replicated over "data"; each data replica renders one
+    camera with its model group's tile-row bands, gathers the bands into
+    its full image over the "model" axis, and gradients are pmean-reduced
+    over "data" (dp_train_step semantics along that axis).  With Dd=1 this
+    is mp_train_step; with Dm=1 it is dp_train_step.
+    """
+    h, w = camera_hw
+    n_bands = mesh.shape[MODEL_AXIS]
+    cap = state.alive.shape[0]
+
+    # per-leaf specs: capacity-sized leaves shard over "model" (replicated
+    # over "data"); scalar leaves (Adam's count) replicate everywhere
+    def leaf_spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return P(MODEL_AXIS)
+        return P()
+
+    state_specs = jax.tree_util.tree_map(leaf_spec, state)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, P("data"), P("data"), P("data"), P("data")),
+        out_specs=(state_specs, P()),
+        check_vma=False,  # pallas outputs carry no vma (see mp_render)
+    )
+    def sharded(state, gt, K, pose, bg):
+        gt0 = gt[0]
+        if gt0.dtype == jnp.uint8:
+            gt0 = gt0.astype(jnp.float32) * (
+                1.0 / config.saturated_pixel_value
+            )
+
+        def loss_fn(params, uv_offset):
+            band_img, visible, info = _band_image(
+                params, state.alive, uv_offset, K[0], pose[0], bg[0],
+                config=config, camera_hw=camera_hw, n_sh_band=n_sh_band,
+                n_bands=n_bands, interpret=interpret, axis=MODEL_AXIS,
+            )
+            image = jax.lax.all_gather(
+                band_img, MODEL_AXIS, axis=0, tiled=True
+            )[:h]
+            loss, psnr = train_loss(image, gt0, config.ssim_frac)
+            # every model replica evaluates an identical copy of the full-
+            # image loss, and the all_gather's psum_scatter VJP SUMS the
+            # n_bands identical cotangents — differentiate loss/n_bands so
+            # that sum is the true gradient (the returned loss value is
+            # rescaled back below)
+            return loss / n_bands, (psnr, visible, info)
+
+        n_loc = state.alive.shape[0]
+        uv_zero = jnp.zeros((2, n_loc), jnp.float32)
+        (loss, (psnr, visible, info)), (gparams, g_uv) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, uv_zero)
+        loss = loss * n_bands
+
+        # camera-axis reductions (model-axis grads are already reduced by
+        # the all_gathers' psum_scatter VJPs)
+        gparams = jax.lax.pmean(gparams, "data")
+        loss = jax.lax.pmean(loss, "data")
+        psnr = jax.lax.pmean(psnr, "data")
+        num_splats = jax.lax.psum(info["num_splats"][0], MODEL_AXIS)
+        num_splats = jax.lax.pmax(num_splats, "data")
+        num_visible = jax.lax.pmax(
+            jax.lax.pmax(info["num_visible"][0], MODEL_AXIS), "data"
+        )
+        tier_members = jax.lax.pmax(
+            jax.lax.pmax(info["tier_members"][0], MODEL_AXIS), "data"
+        )
+        oflow = jax.lax.pmax(
+            jax.lax.pmax(info["overflow"][0], MODEL_AXIS), "data"
+        ) > 0
+        trunc = jax.lax.pmax(
+            jax.lax.pmax(info["truncated"][0], MODEL_AXIS), "data"
+        ) > 0
+
+        opt = optim.make_optimizer(config)
+        updates, opt_state = opt.update(
+            gparams, state.opt_state, state.params
+        )
+        ok = (~oflow | config.overflow_updates) & jnp.isfinite(loss)
+        for g in jax.tree_util.tree_leaves(gparams):
+            ok &= jnp.isfinite(jnp.sum(g))
+        params = jax.tree_util.tree_map(
+            lambda p, u: jnp.where(ok, p + u, p), state.params, updates
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old),
+            opt_state, state.opt_state,
+        )
+
+        fxfy = jnp.stack([K[0, 0, 0], K[0, 1, 1]])
+        uv_grad = (jnp.abs(g_uv) * fxfy[:, None] * visible[None, :]).T
+        uv_grad = jax.lax.psum(uv_grad, "data")
+        seen = jax.lax.psum(visible.astype(jnp.int32), "data")
+        new_state = state._replace(
+            params=params,
+            opt_state=opt_state,
+            uv_grad_accum=state.uv_grad_accum + jnp.where(ok, uv_grad, 0.0),
+            xyz_grad_accum=state.xyz_grad_accum
+            + jnp.where(ok, jnp.abs(gparams["xyz"]), 0.0),
+            grad_accum_count=state.grad_accum_count
+            + seen * ok.astype(jnp.int32),
+        )
+        n_alive = jax.lax.psum(
+            jnp.sum(state.alive.astype(jnp.int32)), MODEL_AXIS
+        )
+        return new_state, dict(
+            loss=loss, psnr=psnr, num_splats=num_splats,
+            num_visible=num_visible, tier_members=tier_members,
+            overflow=oflow, truncated=trunc, n_alive=n_alive,
+        )
+
+    return sharded(state, gt_batch, K_batch, pose_batch, bg_batch)
 
 
 @functools.partial(

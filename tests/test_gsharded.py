@@ -125,3 +125,75 @@ def test_mp_train_step_matches_single_device(setup):
         np.asarray(ref_state.xyz_grad_accum),
         atol=1e-5,
     )
+
+
+def test_dp_mp_2d_mesh_matches_dp(setup):
+    """dp x mp on a (2, 4) mesh == plain dp on 2 devices for the same two
+    cameras (dp itself is pinned against hand-averaged per-camera grads in
+    tests/test_parallel.py)."""
+    from gaussian_splatting_tpu.parallel import (
+        dp_mp_train_step,
+        dp_train_step,
+        make_2d_mesh,
+        make_mesh,
+    )
+    from gaussian_splatting_tpu.parallel.mesh import (
+        replicate_state,
+        shard_batch,
+    )
+
+    state, cam, pose, gt = setup
+    rng = np.random.default_rng(7)
+    pose2 = np.stack([pose, pose.copy()])
+    pose2[1][0, 3] += 0.05
+    gts = np.stack(
+        [gt, rng.uniform(0, 1, gt.shape).astype(np.float32)]
+    )
+    Ks = np.broadcast_to(np.asarray(cam.K), (2, 3, 3)).copy()
+    bgs = np.zeros((2, 3), np.float32)
+
+    dmesh = make_mesh(2)
+    dstate = replicate_state(
+        jax.tree_util.tree_map(jnp.copy, state), dmesh
+    )
+    ref_state, ref_info = dp_train_step(
+        dstate,
+        shard_batch(jnp.asarray(gts), dmesh),
+        shard_batch(jnp.asarray(Ks), dmesh),
+        shard_batch(jnp.asarray(pose2), dmesh),
+        shard_batch(jnp.asarray(bgs), dmesh),
+        config=CFG, camera_hw=CAM_HW, n_sh_band=0, mesh=dmesh,
+        interpret=True,
+    )
+
+    mesh2 = make_2d_mesh(2, 4)
+    sstate = shard_state(
+        jax.tree_util.tree_map(jnp.copy, state), mesh2
+    )
+    dd = jax.sharding.NamedSharding(mesh2, jax.sharding.PartitionSpec("data"))
+    new_state, info = dp_mp_train_step(
+        sstate,
+        jax.device_put(jnp.asarray(gts), dd),
+        jax.device_put(jnp.asarray(Ks), dd),
+        jax.device_put(jnp.asarray(pose2), dd),
+        jax.device_put(jnp.asarray(bgs), dd),
+        config=CFG, camera_hw=CAM_HW, n_sh_band=0, mesh=mesh2,
+        interpret=True,
+    )
+
+    assert np.isclose(float(info["loss"]), float(ref_info["loss"]),
+                      atol=1e-5)
+    for k in ref_state.params:
+        np.testing.assert_allclose(
+            np.asarray(new_state.params[k]),
+            np.asarray(ref_state.params[k]),
+            atol=1e-5, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_state.uv_grad_accum),
+        np.asarray(ref_state.uv_grad_accum), atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state.grad_accum_count),
+        np.asarray(ref_state.grad_accum_count),
+    )
