@@ -144,6 +144,11 @@ class SplatConfig:
     # Python loop; >1 amortises per-dispatch host latency and needs
     # the train images pre-staged on device (single-device mode only)
     steps_per_dispatch: int = 1
+    # capture a device trace (jax.profiler) covering iterations
+    # [profile_start, profile_start + profile_steps) into
+    # output_dir/trace; 0 steps = off
+    profile_start: int = 20
+    profile_steps: int = 0
 
     def __post_init__(self):
         # configs are static jit arguments: tier_capacities must be
@@ -255,6 +260,8 @@ FIELD_HELP = {
     "sharded over the mesh); 1 = single-device",
     "steps_per_dispatch": "steps per device dispatch (lax.scan chunks "
     "between schedule events); 1 = per-step dispatch",
+    "profile_start": "first iteration of the device-trace window",
+    "profile_steps": "device-trace window length (0 = no profiling)",
 }
 
 

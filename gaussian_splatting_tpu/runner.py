@@ -402,6 +402,8 @@ class TrainingRunner:
         self._visible_watermark.append(int(info.get("num_visible", 0)))
         if "tier_members" in info:
             self._tier_watermark.append(np.asarray(info["tier_members"]))
+        if bool(info["overflow"]):
+            self.metrics.overflow_steps += 1
         self._overflowed |= bool(info["overflow"])
         if bool(info.get("truncated", False)) and not self._truncated_seen:
             self._truncated_seen = True
@@ -549,11 +551,33 @@ class TrainingRunner:
     def train(self):
         cfg = self.config
         i = self.start_iter
+        profiling = False
         while i < cfg.num_iters:
+            # optional device-trace window (SURVEY §5 tracing/profiling —
+            # the reference has no profiler integration)
+            if cfg.profile_steps > 0 and not profiling and (
+                i >= cfg.profile_start
+            ) and i < cfg.profile_start + cfg.profile_steps:
+                self._drain()
+                jax.profiler.start_trace(
+                    os.path.join(cfg.output_dir, "trace")
+                )
+                profiling = True
+            elif profiling and i >= cfg.profile_start + cfg.profile_steps:
+                self._drain()
+                jax.profiler.stop_trace()
+                profiling = False
+                print(
+                    f"  device trace written to {cfg.output_dir}/trace "
+                    f"(iters {cfg.profile_start}.."
+                    f"{cfg.profile_start + cfg.profile_steps})"
+                )
             if i % cfg.test_eval_interval == 0:
                 self._drain()
                 psnr, ssim = self.evaluate(iteration=i)
                 self.metrics.test_psnr.append(psnr)
+                self.metrics.test_ssim.append(ssim)
+                self.metrics.eval_iters.append(i)
                 print(f"\tTEST SPLIT PSNR: {psnr:.3f}, SSIM: {ssim:.4f}")
 
             band = T.sh_band_for_iteration(cfg, i)
@@ -666,6 +690,13 @@ class TrainingRunner:
                         if bool(stats["cap_hit"]) else ""
                     )
                 )
+                self.metrics.adc_events.append(dict(
+                    iter=i, deleted=int(stats["n_deleted"]),
+                    cloned=int(stats["n_clone"]),
+                    split=int(stats["n_split"]),
+                    alive=int(stats["n_alive"]),
+                    cap_hit=bool(stats["cap_hit"]),
+                ))
 
             if (
                 i > cfg.reset_opacity_start
@@ -692,15 +723,25 @@ class TrainingRunner:
             i += step_count
 
         self._drain()
+        if profiling:  # window ran past the end of training
+            jax.profiler.stop_trace()
         psnr, ssim = self.evaluate(
             save_images=True, iteration=cfg.num_iters
         )
         self.metrics.test_psnr.append(psnr)
+        self.metrics.test_ssim.append(ssim)
+        self.metrics.eval_iters.append(cfg.num_iters)
         print(f"Final PSNR: {psnr:.3f}, SSIM: {ssim:.4f}")
         ckpt.save_checkpoint(
             os.path.join(cfg.output_dir, "ckpt_final.npz"),
             self.state, cfg.num_iters, self.key,
         )
+        # structured run record (PSNR/SSIM curve, scene growth, ADC events,
+        # overflow count) for PERF.md tables and post-hoc analysis
+        import json
+
+        with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
+            json.dump(self.metrics.to_dict(), f)
         from gaussian_splatting_tpu.plot import terminal_plot
 
         print(terminal_plot(self.metrics))

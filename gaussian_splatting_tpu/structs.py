@@ -31,12 +31,29 @@ MAX_SH_COEFFS = 16
 
 
 class GSMetricsLog:
-    """Training metric traces (reference: splat_py/structs.py:7-11)."""
+    """Training metric traces (reference: splat_py/structs.py:7-11, plus
+    eval SSIM / iteration markers / ADC events / overflow counts the
+    reference keeps only in stdout)."""
 
     def __init__(self):
         self.train_psnr = []
         self.test_psnr = []
+        self.test_ssim = []
+        self.eval_iters = []
         self.num_gaussians = []
+        self.adc_events = []  # dicts: iter, deleted, cloned, split, alive
+        self.overflow_steps = 0
+
+    def to_dict(self) -> dict:
+        return dict(
+            train_psnr=self.train_psnr,
+            test_psnr=self.test_psnr,
+            test_ssim=self.test_ssim,
+            eval_iters=self.eval_iters,
+            num_gaussians=self.num_gaussians,
+            adc_events=self.adc_events,
+            overflow_steps=self.overflow_steps,
+        )
 
 
 @jax.tree_util.register_dataclass
