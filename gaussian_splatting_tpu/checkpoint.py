@@ -67,3 +67,49 @@ def load_checkpoint(path: str, config) -> tuple:
         grad_accum_count=jnp.asarray(z["grad_accum_count"]),
     )
     return state, int(z["iteration"]), jnp.asarray(z["rng_key"])
+
+
+def export_ply(path: str, state: TrainState) -> int:
+    """Export alive gaussians as a standard 3DGS .ply (binary LE).
+
+    The attribute layout is the community convention every 3DGS viewer
+    reads (x/y/z, zero normals, f_dc_0..2, f_rest_0..44 channel-major,
+    opacity pre-sigmoid, scale_0..2 log-space, rot_0..3 wxyz) — the
+    reference exports only a torch module pickle (colmap_splat.py:76),
+    which no external viewer can open.  Returns the vertex count.
+    """
+    alive = np.asarray(state.alive)
+    idx = np.where(alive)[0]
+    p = {k: np.asarray(v)[idx] for k, v in state.params.items()}
+    n = idx.size
+    cols = (
+        [("x", p["xyz"][:, 0]), ("y", p["xyz"][:, 1]), ("z", p["xyz"][:, 2])]
+        + [("nx", None), ("ny", None), ("nz", None)]
+        + [(f"f_dc_{c}", p["rgb"][:, c]) for c in range(3)]
+        # sh is (N, 3, 15): channel-major flatten == the reference-
+        # community transpose(1, 2).flatten layout
+        + [
+            (f"f_rest_{c * 15 + k}", p["sh"][:, c, k])
+            for c in range(3)
+            for k in range(15)
+        ]
+        + [("opacity", p["opacity"][:, 0])]
+        + [(f"scale_{c}", p["scale"][:, c]) for c in range(3)]
+        + [(f"rot_{c}", p["quaternion"][:, c]) for c in range(4)]
+    )
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        + "".join(f"property float {name}\n" for name, _ in cols)
+        + "end_header\n"
+    )
+    data = np.zeros((n, len(cols)), dtype="<f4")
+    for j, (_, v) in enumerate(cols):
+        if v is not None:
+            data[:, j] = v.astype(np.float32)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(data.tobytes())
+    os.replace(tmp, path)
+    return n

@@ -736,6 +736,10 @@ class TrainingRunner:
             os.path.join(cfg.output_dir, "ckpt_final.npz"),
             self.state, cfg.num_iters, self.key,
         )
+        # viewer-interop export (standard 3DGS .ply attribute layout)
+        ckpt.export_ply(
+            os.path.join(cfg.output_dir, "scene_final.ply"), self.state
+        )
         # structured run record (PSNR/SSIM curve, scene growth, ADC events,
         # overflow count) for PERF.md tables and post-hoc analysis
         import json

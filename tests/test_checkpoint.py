@@ -210,3 +210,45 @@ def test_rebucket_clamp_shaves_biggest_contributor():
     assert total <= cfg.max_splat_capacity or at_floor, (total, caps)
     for c, f in zip(caps, TIER_FLOORS):
         assert c >= f, (c, f)
+
+
+def test_export_ply_roundtrip(tmp_path):
+    """The .ply export holds the community 3DGS attribute layout: header
+    declares 62 float properties; payload rows reproduce the alive
+    gaussians' fields (f_rest channel-major)."""
+    from gaussian_splatting_tpu import checkpoint as ckpt
+
+    scene = fx.test_scene(opacity_presigmoid=True, capacity=8)
+    state = T.init_train_state(scene, CFG)
+    path = str(tmp_path / "scene.ply")
+    n = ckpt.export_ply(path, state)
+    assert n == int(np.asarray(state.alive).sum())
+
+    raw = open(path, "rb").read()
+    head, _, payload = raw.partition(b"end_header\n")
+    lines = head.decode("ascii").splitlines()
+    assert lines[0] == "ply" and "binary_little_endian" in lines[1]
+    assert f"element vertex {n}" in lines[2]
+    props = [l.split()[-1] for l in lines if l.startswith("property")]
+    assert len(props) == 62
+    assert props[:3] == ["x", "y", "z"]
+    assert props[6] == "f_dc_0" and props[9] == "f_rest_0"
+    assert props[-8] == "opacity" and props[-1] == "rot_3"
+
+    data = np.frombuffer(payload, dtype="<f4").reshape(n, 62)
+    alive = np.asarray(state.alive)
+    np.testing.assert_array_equal(
+        data[:, :3], np.asarray(state.params["xyz"])[alive]
+    )
+    np.testing.assert_array_equal(
+        data[:, 6:9], np.asarray(state.params["rgb"])[alive]
+    )
+    # f_rest channel-major: column 9 + c*15 + k == sh[:, c, k]
+    sh = np.asarray(state.params["sh"])[alive]
+    np.testing.assert_array_equal(data[:, 9 + 1 * 15 + 2], sh[:, 1, 2])
+    np.testing.assert_array_equal(
+        data[:, 54], np.asarray(state.params["opacity"])[alive][:, 0]
+    )
+    np.testing.assert_array_equal(
+        data[:, 58:62], np.asarray(state.params["quaternion"])[alive]
+    )
