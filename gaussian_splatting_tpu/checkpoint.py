@@ -113,3 +113,60 @@ def export_ply(path: str, state: TrainState) -> int:
         f.write(data.tobytes())
     os.replace(tmp, path)
     return n
+
+
+def import_ply(path: str, capacity: int | None = None):
+    """Load a community-layout 3DGS .ply as a GaussianScene.
+
+    Inverse of export_ply; also accepts files from other 3DGS trainers
+    (any SH degree 0..3 — missing f_rest columns load as zeros).
+    """
+    from gaussian_splatting_tpu.structs import GaussianScene
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    head, _, payload = raw.partition(b"end_header\n")
+    lines = head.decode("ascii", "replace").splitlines()
+    if lines[0].strip() != "ply" or "binary_little_endian" not in lines[1]:
+        raise ValueError(f"{path}: not a binary little-endian ply")
+    n = None
+    props = []
+    for ln in lines:
+        if ln.startswith("element vertex"):
+            n = int(ln.split()[-1])
+        elif ln.startswith("property"):
+            parts = ln.split()
+            if parts[1] != "float":
+                raise ValueError(f"{path}: non-float property {parts[-1]}")
+            props.append(parts[-1])
+    if n is None:
+        raise ValueError(f"{path}: no vertex element")
+    data = np.frombuffer(
+        payload, dtype="<f4", count=n * len(props)
+    ).reshape(n, len(props))
+    col = {name: data[:, j] for j, name in enumerate(props)}
+
+    def grab(names, default=0.0):
+        return np.stack(
+            [
+                col.get(nm, np.full(n, default, np.float32))
+                for nm in names
+            ],
+            axis=1,
+        )
+
+    xyz = grab(["x", "y", "z"])
+    rgb = grab(["f_dc_0", "f_dc_1", "f_dc_2"])
+    opacity = grab(["opacity"])
+    scale = grab(["scale_0", "scale_1", "scale_2"])
+    quat = grab(["rot_0", "rot_1", "rot_2", "rot_3"])
+    sh = np.stack(
+        [
+            grab([f"f_rest_{c * 15 + k}" for k in range(15)])
+            for c in range(3)
+        ],
+        axis=1,
+    )  # (N, 3, 15)
+    return GaussianScene.create(
+        xyz, rgb, opacity, scale, quat, sh=sh, capacity=capacity
+    )

@@ -252,3 +252,22 @@ def test_export_ply_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         data[:, 58:62], np.asarray(state.params["quaternion"])[alive]
     )
+
+
+def test_import_ply_roundtrip(tmp_path):
+    """import_ply inverts export_ply on every field (alive slots)."""
+    from gaussian_splatting_tpu import checkpoint as ckpt
+
+    scene = fx.test_scene(opacity_presigmoid=True, capacity=8)
+    state = T.init_train_state(scene, CFG)
+    path = str(tmp_path / "scene.ply")
+    ckpt.export_ply(path, state)
+    s2 = ckpt.import_ply(path)
+    alive = np.asarray(state.alive)
+    assert int(np.asarray(s2.alive).sum()) == int(alive.sum())
+    for k, v in state.params.items():
+        np.testing.assert_array_equal(
+            np.asarray(v)[alive],
+            np.asarray(s2.params()[k])[np.asarray(s2.alive)],
+            err_msg=k,
+        )
