@@ -24,6 +24,9 @@ class SplatConfig:
     checkpoint_interval: int = 10000
     load_checkpoint: bool = False
     checkpoint_path: str = ""
+    # initialise / fine-tune from a community 3DGS .ply instead of
+    # SfM points (checkpoint.import_ply)
+    load_ply: str = ""
     save_debug_image_interval: int = 200
     print_interval: int = 100
 
@@ -181,6 +184,7 @@ FIELD_HELP = {
     "checkpoint_interval": "save a checkpoint every N iterations",
     "load_checkpoint": "resume from checkpoint_path instead of initialising",
     "checkpoint_path": "checkpoint .npz to resume from",
+    "load_ply": "initialise from a 3DGS .ply (viewer/community layout)",
     "save_debug_image_interval": "save a render of train view 0 every N "
     "iterations (0 disables)",
     "print_interval": "print train PSNR/size every N iterations",

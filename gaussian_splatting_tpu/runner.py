@@ -70,6 +70,18 @@ class TrainingRunner:
             self.state, self.start_iter, self.key = ckpt.load_checkpoint(
                 config.checkpoint_path, config
             )
+        elif config.load_ply:
+            # initialise (or fine-tune) from a community 3DGS .ply —
+            # scenes trained by other frameworks drop straight in; slot
+            # capacity re-derived from the ply's own gaussian count
+            scene = ckpt.import_ply(config.load_ply)
+            n_ply = int(np.asarray(scene.alive).sum())
+            ply_cap = derive_capacity(n_ply, config)
+            if ply_cap > scene.capacity:
+                scene = ckpt.import_ply(config.load_ply, capacity=ply_cap)
+            print(f"loaded {n_ply} gaussians from {config.load_ply}")
+            self.state = T.init_train_state(scene, config)
+            self.start_iter = 0
         else:
             scene = create_scene(init_data, config, capacity)
             self.state = T.init_train_state(scene, config)
