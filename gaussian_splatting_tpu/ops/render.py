@@ -186,9 +186,14 @@ def _pixel_local_coords(dtype):
     )
 
 
-def _alpha_terms(f, tx, ty, lo, hi):
+def _alpha_terms(f, tx, ty, lo, hi, clamp=False):
     """Per splat-pixel alpha math shared by fwd/bwd.  f: (FEAT_ROWS, CHUNK);
-    only lanes in [lo, hi) belong to the current tile (tx, ty)."""
+    only lanes in [lo, hi) belong to the current tile (tx, ty).
+
+    ``clamp=True`` (backward) caps ``at`` at ALPHA_CLAMP — the reference's
+    backward clamps alpha to 0.9999 before every use (weights, reciprocal,
+    rgb grads; src/render_backward.cu:167), so the one clamped field serves
+    all of them."""
     chunk = f.shape[1]
     up, vp = _pixel_local_coords(f.dtype)
     # per-splat centres relative to the tile CENTRE (row ops; the pixel
@@ -217,7 +222,8 @@ def _alpha_terms(f, tx, ty, lo, hi):
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     in_range = (lane >= lo) & (lane < hi)
-    at = jnp.where((alpha >= cc.ALPHA_SKIP) & in_range, alpha, 0.0)
+    av = jnp.minimum(alpha, cc.ALPHA_CLAMP) if clamp else alpha
+    at = jnp.where((alpha >= cc.ALPHA_SKIP) & in_range, av, 0.0)
     return dict(
         du=du, dv=dv, det=det, rdet=rdet, mh=mh, prob=prob, alpha=alpha,
         at=at, op=op, a=a, b=b, c=c, in_range=in_range, ul=ul, vl=vl,
@@ -416,7 +422,7 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        t = _alpha_terms(f, tx, ty, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi, clamp=True)
         at, prob, op = t["at"], t["prob"], t["op"]
         rdet = t["rdet"]
         a, b, c = t["a"], t["b"], t["c"]
@@ -429,6 +435,8 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         )
         active = tpref >= cc.T_EPS
         mask = active & (at > 0.0)
+        # at is pre-clamped (clamp=True), so this weight already IS the
+        # reference backward's clamped weight (render_backward.cu:193-196)
         wgt = jnp.where(mask, at * tpref, 0.0)
 
         g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
@@ -443,8 +451,7 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         # D = sum_ch color_accum * g  (colour behind this splat + background)
         D = e_col[:] - pg_incl
 
-        alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
-        roma = 1.0 / (1.0 - alpha_cl)
+        roma = 1.0 / (1.0 - at)  # at <= ALPHA_CLAMP, and 0 on masked lanes
         galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
 
         # q = dL/d(mh) per splat-pixel.  Every per-splat gradient row is a
@@ -457,7 +464,6 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         # and six vector reductions of the round-2 kernel (the CUDA
         # analogue reduces with warp shuffles, render_backward.cu:238-282).
         q = -0.5 * prob * op * galpha
-        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
         basis = jnp.concatenate(
             [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
         )  # (256, 6)
@@ -489,7 +495,7 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
                 ga_row,
                 gb_row,
                 gc_row,
-                _mm(g, w_cl, (((1,), (0,)))),
+                _mm(g, wgt, (((1,), (0,)))),
                 jnp.zeros(
                     (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
                 ),

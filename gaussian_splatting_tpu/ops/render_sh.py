@@ -195,7 +195,7 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        t = _alpha_terms(f, tx, ty, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi, clamp=True)
         at, prob, op = t["at"], t["prob"], t["op"]
         rdet = t["rdet"]
         a, b, c = t["a"], t["b"], t["c"]
@@ -206,6 +206,8 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
         active = tpref >= cc.T_EPS
         mask = active & (at > 0.0)
+        # at is pre-clamped, so this IS the reference backward's clamped
+        # weight (render_backward.cu:193-196)
         wgt = jnp.where(mask, at * tpref, 0.0)
 
         g = gi_ref[0:3, :]  # (3, 256)
@@ -221,15 +223,13 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         pg_incl = pg_col[:] + _mm(cw, u_strict, (((1,), (0,)))) + cw
         D = e_col[:] - pg_incl
 
-        alpha_cl = jnp.minimum(t["alpha"], cc.ALPHA_CLAMP)
-        roma = 1.0 / (1.0 - alpha_cl)
+        roma = 1.0 / (1.0 - at)  # at <= ALPHA_CLAMP, 0 on masked lanes
         galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
 
         # basis-moment gradient reduction (see ops/render._bwd_kernel): one
         # (6, 256) @ (256, CHUNK) matmul + row algebra replaces five full
         # gradient fields and six vector reductions
         q = -0.5 * prob * op * galpha
-        w_cl = jnp.where(mask, alpha_cl * tpref, 0.0)
         pbasis = jnp.concatenate(
             [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
         )  # (256, 6)
@@ -260,7 +260,7 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
                 ga_row,
                 gb_row,
                 gc_row,
-                _mm(gb, w_cl, (((1,), (0,)))),
+                _mm(gb, wgt, (((1,), (0,)))),
                 jnp.zeros((feat_rows - chi, chunk), jnp.float32),
             ],
             axis=0,
