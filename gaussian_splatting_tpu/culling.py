@@ -665,6 +665,9 @@ def _layout_impl(
     if bf16:
         # splat centres ride TILE-LOCALLY as one bf16 pair (rebuilt from
         # the key's tile id after the sort); rows 2.. ride as bf16 pairs
+        # PACKED ON THE COMPACTED COLUMNS (m_comp scale) and broadcast as
+        # i32 rows — packing after the broadcast paid the bitcast/shift
+        # chain on every padded cell instead of once per gaussian
         ulo = flat(
             [
                 f[0][None, :] - (tx.astype(jnp.float32) * TILE_PX + half_px)
@@ -677,9 +680,23 @@ def _layout_impl(
                 for f, ty in zip(tier_feat, tier_ty)
             ]
         )
-        cand_feat = [_pack2_bf16(ulo, vlo)] + _pack_rows(
-            [cand_row(r) for r in range(2, n_rows)], True
-        )
+        # rows 2.. rode the compaction sort as these exact bf16 pairs —
+        # reuse them as-is (unpack->repack is the identity on bf16 pairs)
+        packed_c = [p[:m_comp] for p in comp[4 + co :]]
+        cand_feat = [_pack2_bf16(ulo, vlo)] + [
+            flat(
+                [
+                    jnp.broadcast_to(
+                        jax.lax.dynamic_slice_in_dim(
+                            p, start, t.shape[1], 0
+                        )[None, :],
+                        t.shape,
+                    )
+                    for start, t in zip(tier_starts, tier_keys)
+                ]
+            )
+            for p in packed_c
+        ]
     else:
         cand_feat = [cand_row(r) for r in range(n_rows)]
     # barrier: without it XLA fuses a copy of the whole SAT/obb producer
@@ -726,9 +743,13 @@ def _layout_impl(
     gaussian_idx = jnp.where(valid_slot, sort_gid, n)
     feat = None
     if n_rows:
-        feat = jnp.stack(
-            [jnp.where(valid_slot, f, 0.0) for f in sort_feat]
-        )
+        # NO sanitising mask over the (R, S) splat rows: sentinel slots
+        # carry real (finite) gaussian features — only their rebuilt u/v
+        # centres are wrong (sentinel tile id), and every kernel masks
+        # those lanes via the tile's [lo, hi) range before any cross-lane
+        # reduction, so garbage never propagates.  The old full-width
+        # where() was ~4 ms/step at bench scale.
+        feat = jnp.stack(sort_feat)
 
     # ---- per-tile boundaries via binary search (n_tiles-scale, cheap)
     tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)

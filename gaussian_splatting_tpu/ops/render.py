@@ -186,14 +186,40 @@ def _pixel_local_coords(dtype):
     )
 
 
-def _alpha_terms(f, tx, ty, lo, hi, clamp=False):
+def _pixel_basis(dtype):
+    """(256, 6) constant polynomial pixel basis [1, up, vp, up^2, vp^2,
+    up*vp] over the tile-centred pixel coordinates.  Every entry is a
+    half-integer product <= 56.25 = 225/4, i.e. exactly representable in
+    bfloat16's 8 significand bits — so a bf16 cast of this matrix is
+    EXACT."""
+    up, vp = _pixel_local_coords(dtype)
+    return jnp.concatenate(
+        [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
+    )
+
+
+def _alpha_terms(f, tx, ty, lo, hi, clamp=False, mx=False):
     """Per splat-pixel alpha math shared by fwd/bwd.  f: (FEAT_ROWS, CHUNK);
     only lanes in [lo, hi) belong to the current tile (tx, ty).
 
     ``clamp=True`` (backward) caps ``at`` at ALPHA_CLAMP — the reference's
     backward clamps alpha to 0.9999 before every use (weights, reciprocal,
     rgb grads; src/render_backward.cu:167), so the one clamped field serves
-    all of them."""
+    all of them.
+
+    ``mx=True`` (kernel_precision="bf16" production mode) evaluates the
+    Mahalanobis quadratic on the MXU: mh separates into the fixed pixel
+    basis [1, up, vp, up^2, vp^2, up*vp] contracted with six per-splat
+    coefficient ROWS, so one (256, 6) @ (6, CHUNK) matmul (basis exact in
+    bf16, coefficients as an exact-against-0/1... hi/lo bf16 split pair)
+    replaces the ~9 full (256, CHUNK) VPU ops of the du/dv chain.  The
+    split residual puts ~2^-16 relative noise on mh's terms — same order
+    as the bf16 prefix matmuls this mode already accepts.  The one
+    semantic wrinkle: the reference's mh > 0 test (prob = 0 at an EXACT
+    splat-centre pixel, src/render.cu:137) is evaluated on the rounded
+    mh, so a pixel within ~1e-5 of a splat centre can flip sides — a
+    measure-zero event in training data, and f32/golden mode keeps the
+    exact du/dv chain."""
     chunk = f.shape[1]
     up, vp = _pixel_local_coords(f.dtype)
     # per-splat centres relative to the tile CENTRE (row ops; the pixel
@@ -212,12 +238,39 @@ def _alpha_terms(f, tx, ty, lo, hi, clamp=False):
     b = f[cc.FEAT_B : cc.FEAT_B + 1, :]
     c = f[cc.FEAT_C : cc.FEAT_C + 1, :]
 
-    du = up - ul  # (256, CHUNK)
-    dv = vp - vl
     det = a * c - b * b
     rdet = 1.0 / det
-    mh = (c * du * du - 2.0 * b * du * dv + a * dv * dv) * rdet
-    prob = jnp.where(mh > 0.0, jnp.exp(-0.5 * mh), 0.0)
+    if mx:
+        # nh = -mh/2 = basis @ K, with the -1/2 folded into the (1, CHUNK)
+        # coefficient rows (row algebra is ~1/256 the cost of a full op)
+        ra = rdet * a
+        rb = rdet * b
+        rc = rdet * c
+        k0 = rc * ul * ul - 2.0 * (rb * ul) * vl + ra * vl * vl
+        K = jnp.concatenate(
+            [
+                -0.5 * k0,
+                rc * ul - rb * vl,
+                ra * vl - rb * ul,
+                -0.5 * rc,
+                -0.5 * ra,
+                rb,
+            ],
+            axis=0,
+        )  # (6, CHUNK)
+        basis = _pixel_basis(f.dtype).astype(jnp.bfloat16)  # exact cast
+        kh = K.astype(jnp.bfloat16)
+        kl = (K - kh.astype(jnp.float32)).astype(jnp.bfloat16)
+        nh = _mm(basis, kh, (((1,), (0,)))) + _mm(
+            basis, kl, (((1,), (0,)))
+        )  # (256, CHUNK) f32
+        mh = None
+        prob = jnp.where(nh < 0.0, jnp.exp(nh), 0.0)
+    else:
+        du = up - ul  # (256, CHUNK)
+        dv = vp - vl
+        mh = (c * du * du - 2.0 * b * du * dv + a * dv * dv) * rdet
+        prob = jnp.where(mh > 0.0, jnp.exp(-0.5 * mh), 0.0)
     alpha = op * prob
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -225,7 +278,7 @@ def _alpha_terms(f, tx, ty, lo, hi, clamp=False):
     av = jnp.minimum(alpha, cc.ALPHA_CLAMP) if clamp else alpha
     at = jnp.where((alpha >= cc.ALPHA_SKIP) & in_range, av, 0.0)
     return dict(
-        du=du, dv=dv, det=det, rdet=rdet, mh=mh, prob=prob, alpha=alpha,
+        det=det, rdet=rdet, mh=mh, prob=prob, alpha=alpha,
         at=at, op=op, a=a, b=b, c=c, in_range=in_range, ul=ul, vl=vl,
         up=up, vp=vp,
     )
@@ -327,7 +380,7 @@ def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        t = _alpha_terms(f, tx, ty, lo, hi)
+        t = _alpha_terms(f, tx, ty, lo, hi, mx=False)
         at = t["at"]
         loma = _log_one_minus(at)
         u_strict, _ = _tri_matrices(chunk, f.dtype)
@@ -422,22 +475,24 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
-        t = _alpha_terms(f, tx, ty, lo, hi, clamp=True)
-        at, prob, op = t["at"], t["prob"], t["op"]
+        t = _alpha_terms(f, tx, ty, lo, hi, clamp=True, mx=bf16)
+        at, op = t["at"], t["op"]
         rdet = t["rdet"]
         a, b, c = t["a"], t["b"], t["c"]
-        ul, vl, up, vp = t["ul"], t["vl"], t["up"], t["vp"]
+        ul, vl = t["ul"], t["vl"]
 
-        loma = _log_one_minus(at)
+        # at <= ALPHA_CLAMP < 0.999999, so _log_one_minus's guard min is
+        # redundant here
+        loma = jnp.log1p(-at)
         u_strict, _ = _tri_matrices(chunk, f.dtype)
         tpref = t_col[:] * jnp.exp(
             _mm_scan(loma, u_strict, (((1,), (0,))), bf16)
         )
         active = tpref >= cc.T_EPS
-        mask = active & (at > 0.0)
-        # at is pre-clamped (clamp=True), so this weight already IS the
-        # reference backward's clamped weight (render_backward.cu:193-196)
-        wgt = jnp.where(mask, at * tpref, 0.0)
+        # at is pre-clamped (clamp=True) and pre-masked, so this weight
+        # already IS the reference backward's clamped weight
+        # (render_backward.cu:193-196)
+        wgt = jnp.where(active, at * tpref, 0.0)
 
         g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
         rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
@@ -452,22 +507,25 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         D = e_col[:] - pg_incl
 
         roma = 1.0 / (1.0 - at)  # at <= ALPHA_CLAMP, and 0 on masked lanes
-        galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
+        # q = -2 dL/d(mh): alpha * grad_alpha with the -1/2 deferred to the
+        # T6 rows.  Multiplying by the pre-masked, pre-clamped `at` applies
+        # both the active&at>0 mask and the reference backward's alpha
+        # clamp in one op.
+        q = at * jnp.where(active, A * tpref - D * roma, 0.0)
 
-        # q = dL/d(mh) per splat-pixel.  Every per-splat gradient row is a
-        # pixel sum of q times a polynomial in (du, dv) with per-splat
-        # coefficients, and du = up - ul separates into per-pixel and
-        # per-splat parts — so ALL six gradient rows reduce through ONE
-        # (6, 256) @ (256, CHUNK) moment matmul against the fixed basis
-        # {1, up, vp, up^2, vp^2, up*vp}, followed by (1, CHUNK) row
-        # algebra.  This replaces five full (256, CHUNK) gradient fields
-        # and six vector reductions of the round-2 kernel (the CUDA
-        # analogue reduces with warp shuffles, render_backward.cu:238-282).
-        q = -0.5 * prob * op * galpha
-        basis = jnp.concatenate(
-            [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
-        )  # (256, 6)
-        T6 = _mm(basis, q, (((0,), (0,))))  # (6, CHUNK) raw moments, f32
+        # Every per-splat gradient row is a pixel sum of q times a
+        # polynomial in (du, dv) with per-splat coefficients, and
+        # du = up - ul separates into per-pixel and per-splat parts — so
+        # ALL six gradient rows reduce through ONE (6, 256) @ (256, CHUNK)
+        # moment matmul against the fixed basis {1, up, vp, up^2, vp^2,
+        # up*vp}, followed by (1, CHUNK) row algebra.  This replaces five
+        # full (256, CHUNK) gradient fields and six vector reductions of
+        # the round-2 kernel (the CUDA analogue reduces with warp
+        # shuffles, render_backward.cu:238-282).
+        basis = _pixel_basis(f.dtype)  # (256, 6)
+        # raw moments of dL/dmh = -q/2 (the deferred -1/2 lands here, on
+        # (6, CHUNK) rows instead of a full (256, CHUNK) field)
+        T6 = -0.5 * _mm(basis, q, (((0,), (0,))))  # (6, CHUNK), f32
         m1, su, sv = T6[0:1, :], T6[1:2, :], T6[2:3, :]
         suu, svv, suv = T6[3:4, :], T6[4:5, :], T6[5:6, :]
         # central moments about the splat centre (tile-local, so the
@@ -510,7 +568,6 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
         prev = jnp.where(new_window, 0.0, gout_ref[:])
         gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
 
-        # carries
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
         pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
         sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)

@@ -37,6 +37,7 @@ from gaussian_splatting_tpu.ops.render import (
     _col_to_row,
     _log_one_minus,
     _mm,
+    _pixel_basis,
     _row_to_col,
     _step_scalars,
     _tri_matrices,
@@ -196,19 +197,19 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         f = feat_ref[:]
         chunk = f.shape[1]
         t = _alpha_terms(f, tx, ty, lo, hi, clamp=True)
-        at, prob, op = t["at"], t["prob"], t["op"]
+        at, op = t["at"], t["op"]
         rdet = t["rdet"]
         a, b, c = t["a"], t["b"], t["c"]
-        ul, vl, up, vp = t["ul"], t["vl"], t["up"], t["vp"]
+        ul, vl = t["ul"], t["vl"]
 
-        loma = _log_one_minus(at)
+        # at <= ALPHA_CLAMP < 0.999999: _log_one_minus's guard is redundant
+        loma = jnp.log1p(-at)
         u_strict, _ = _tri_matrices(chunk, f.dtype)
         tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
         active = tpref >= cc.T_EPS
-        mask = active & (at > 0.0)
-        # at is pre-clamped, so this IS the reference backward's clamped
-        # weight (render_backward.cu:193-196)
-        wgt = jnp.where(mask, at * tpref, 0.0)
+        # at is pre-clamped and pre-masked, so this IS the reference
+        # backward's clamped weight (render_backward.cu:193-196)
+        wgt = jnp.where(active, at * tpref, 0.0)
 
         g = gi_ref[0:3, :]  # (3, 256)
         basis = basis_ref[0:n_sh, :]  # (n_sh, 256)
@@ -224,16 +225,15 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         D = e_col[:] - pg_incl
 
         roma = 1.0 / (1.0 - at)  # at <= ALPHA_CLAMP, 0 on masked lanes
-        galpha = jnp.where(mask, A * tpref - D * roma, 0.0)
-
         # basis-moment gradient reduction (see ops/render._bwd_kernel): one
         # (6, 256) @ (256, CHUNK) matmul + row algebra replaces five full
-        # gradient fields and six vector reductions
-        q = -0.5 * prob * op * galpha
-        pbasis = jnp.concatenate(
-            [jnp.ones_like(up), up, vp, up * up, vp * vp, up * vp], axis=1
-        )  # (256, 6)
-        T6 = _mm(pbasis, q, (((0,), (0,))))  # (6, CHUNK)
+        # gradient fields and six vector reductions.  q carries alpha *
+        # grad_alpha with the -1/2 deferred to the (6, CHUNK) T6 rows;
+        # multiplying by the pre-masked, pre-clamped `at` applies the
+        # active&at>0 mask and the reference's alpha clamp in one op.
+        q = at * jnp.where(active, A * tpref - D * roma, 0.0)
+        pbasis = _pixel_basis(f.dtype)  # (256, 6)
+        T6 = -0.5 * _mm(pbasis, q, (((0,), (0,))))  # (6, CHUNK)
         m1, su, sv = T6[0:1, :], T6[1:2, :], T6[2:3, :]
         suu, svv, suv = T6[3:4, :], T6[4:5, :], T6[5:6, :]
         mu = su - ul * m1

@@ -331,10 +331,16 @@ def test_layout_with_features_grad():
             want[:, gid[i]] += c[:, i]
     np.testing.assert_allclose(g, want, atol=1e-3)
 
-    # forward expansion itself must equal the gather
+    # forward expansion must equal the gather on LIVE slots; sentinel
+    # slots are unspecified (the kernels lane-mask them via tile ranges
+    # before any cross-lane reduction) but must stay finite so masked
+    # lanes cannot poison a matmul with inf*0
     _, feat = layout_with_features(
         uv, conic, xyz_cam[:, 2], visible, feat_g, grid, 3.0, scap, 256
     )
     fg = np.asarray(feat_g)
-    want_f = np.where(gid[None, :] < n, fg[:, np.minimum(gid, n - 1)], 0.0)
-    np.testing.assert_allclose(np.asarray(feat), want_f, atol=0)
+    feat_np = np.asarray(feat)
+    live = gid < n
+    want_f = fg[:, np.minimum(gid, n - 1)]
+    np.testing.assert_allclose(feat_np[:, live], want_f[:, live], atol=0)
+    assert np.isfinite(feat_np).all()
