@@ -164,10 +164,10 @@ def main():
         prev = k
     members[-1] += int((area > cu.TIER_CELLS[-1]).sum())
     caps = tuple(
-        cu.capacity_bucket(m * 13 // 10 + 1, f)
+        cu.capacity_bucket(m * 23 // 20 + 1, f)
         for m, f in zip(members, cu.TIER_FLOORS)
     )
-    vbucket = cu.capacity_bucket(n_visible * 13 // 10 + 1, 1 << 16)
+    vbucket = cu.capacity_bucket(n_visible * 23 // 20 + 1, 1 << 16)
     cells = sum(k * cp for k, cp in zip(cu.TIER_CELLS, caps))
     print(
         f"probe: visible={n_visible} members={members} caps={caps} "

@@ -88,10 +88,10 @@ def main():
         prev = k
     members[-1] += int((area > cu.TIER_CELLS[-1]).sum())
     caps = tuple(
-        cu.capacity_bucket(m * 13 // 10 + 1, f)
+        cu.capacity_bucket(m * 23 // 20 + 1, f)
         for m, f in zip(members, cu.TIER_FLOORS)
     )
-    vbucket = cu.capacity_bucket(n_visible * 13 // 10 + 1, 1 << 16)
+    vbucket = cu.capacity_bucket(n_visible * 23 // 20 + 1, 1 << 16)
     config = SplatConfig(
         splat_capacity=1 << 22, chunk=256,
         visible_capacity=min(vbucket, 1 << 21),

@@ -45,10 +45,11 @@ from gaussian_splatting_tpu.structs import TILE_PX, TileGrid
 # TIER_CELLS[i]]).  Every tier is a contiguous segment of the
 # area-descending compacted ordering; per-tier capacities come from
 # config.tier_capacities (the runner right-sizes them from the observed
-# per-tier member counts) or a splat_capacity-derived default.  The ratio-2
-# spacing through 64 keeps per-cell padding under 2x where the mass of a
-# trained scene lives (1-16 cells).
-TIER_CELLS = (1, 2, 4, 8, 16, 32, 64, 256, 1024, 4096)
+# per-tier member counts) or a splat_capacity-derived default.  The extra
+# rungs at 3/6/12 keep per-cell padding under ~1.25x where the mass of a
+# trained scene lives (1-16 cells) — sort cost is linear in the padded
+# cell count, so tier fill is sort time.
+TIER_CELLS = (1, 2, 3, 4, 6, 8, 12, 16, 32, 64, 256, 1024, 4096)
 # Floor on tier capacities so tiny scenes (e.g. the 6-gaussian test
 # fixture) still route their gaussians somewhere; scaled down for the
 # big-cell tiers so the floors alone don't bloat the splat-list width.

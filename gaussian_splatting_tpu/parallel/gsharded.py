@@ -47,6 +47,7 @@ from gaussian_splatting_tpu.culling import (
     layout_with_features,
 )
 from gaussian_splatting_tpu.losses import train_loss
+from gaussian_splatting_tpu.ops import render_sh as rsh
 from gaussian_splatting_tpu.ops.reference_impl import tiles_to_image
 from gaussian_splatting_tpu.ops.render import (
     build_step_meta,
@@ -126,33 +127,44 @@ def _band_image(
     opacity_v = jax.nn.sigmoid(params["opacity"][:, 0])
 
     n_sh = {0: 1, 1: 4, 2: 9, 3: 16}[n_sh_band]
-    if n_sh == 1:
-        rgbT = params["rgb"].T
-    else:
-        if not config.use_sh_precompute:
-            raise NotImplementedError(
-                "gaussian-sharded rendering supports the per-gaussian SH "
-                "precompute path only (config.use_sh_precompute=True)"
-            )
+    per_pixel_sh = n_sh > 1 and not config.use_sh_precompute
+    if per_pixel_sh:
+        # per-pixel SH (reference: splat_py/rasterize.py:95-99 else-branch):
+        # the bundle carries the raw 3*n_sh coefficient rows; each band
+        # contracts them with its own pixels' view-direction basis
         coeffs = jnp.concatenate(
             [params["rgb"][:, :, None], params["sh"][:, :, : n_sh - 1]],
             axis=2,
         )
-        center = geo.camera_center_from_pose(camera_T_world)
-        rgbT = geo.precompute_rgb_from_sh(coeffs, params["xyz"], center).T
-    feat_g = splat_feature_rows(
-        u, v, opacity_v, *conic3,
-        rgbT[0] * geo.SH_0, rgbT[1] * geo.SH_0, rgbT[2] * geo.SH_0,
-    )
+        feat_g = rsh.sh_splat_feature_rows(
+            u, v, opacity_v, conic3, coeffs
+        )  # (6 + 3*n_sh, n_loc)
+    else:
+        if n_sh == 1:
+            rgbT = params["rgb"].T
+        else:
+            coeffs = jnp.concatenate(
+                [params["rgb"][:, :, None], params["sh"][:, :, : n_sh - 1]],
+                axis=2,
+            )
+            center = geo.camera_center_from_pose(camera_T_world)
+            rgbT = geo.precompute_rgb_from_sh(
+                coeffs, params["xyz"], center
+            ).T
+        feat_g = splat_feature_rows(
+            u, v, opacity_v, *conic3,
+            rgbT[0] * geo.SH_0, rgbT[1] * geo.SH_0, rgbT[2] * geo.SH_0,
+        )
+    n_feat = feat_g.shape[0]
 
     # --- ONE gather of the splat bundle (VJP = psum_scatter) ------------
     bundle = jnp.concatenate(
         [feat_g, zc[None], visible.astype(jnp.float32)[None]]
-    )  # (11, n_loc)
-    bundle = jax.lax.all_gather(bundle, axis, axis=1, tiled=True)  # (11, N)
-    feat_full = bundle[:9]
-    zc_full = bundle[9]
-    vis_full = bundle[10] > 0.5
+    )  # (n_feat + 2, n_loc)
+    bundle = jax.lax.all_gather(bundle, axis, axis=1, tiled=True)
+    feat_full = bundle[:n_feat]
+    zc_full = bundle[n_feat]
+    vis_full = bundle[n_feat + 1] > 0.5
 
     # --- band layout + render (O(splats/D)) -----------------------------
     band = jax.lax.axis_index(axis)
@@ -170,13 +182,32 @@ def _band_image(
         config.tier_capacities, config.kernel_precision,
     )
     meta = build_step_meta(layout, band_grid.tile_count, config.chunk)
-    feat = pad_feature_rows(feat)
-    img_tiles, _T = render_tiles(
-        feat, meta, background_rgb, layout.tile_has_output,
-        n_tiles=band_grid.tile_count, x_tiles=band_grid.x_tiles,
-        chunk=config.chunk, interpret=interpret,
-        precision=config.kernel_precision,
-    )
+    if per_pixel_sh:
+        # band-local pixel basis: shifting the principal point by the band
+        # origin makes each band-local pixel ray EXACTLY its global ray
+        # ((y_local - (cy - v_origin)) = y_global - cy)
+        K_band = camera_K - v_origin * jnp.array(
+            [[0.0, 0, 0], [0, 0, 1.0], [0, 0, 0]], jnp.float32
+        )
+        basis = rsh.build_pixel_basis(
+            K_band, w, band_grid.image_height_padded, camera_T_world,
+            n_sh, band_grid,
+        )
+        feat = pad_feature_rows(feat, rsh._pad8(rsh.sh_feat_rows(n_sh)))
+        img_tiles, _T = rsh.render_tiles_sh(
+            feat, basis, meta, background_rgb, layout.tile_has_output,
+            n_sh=n_sh, n_tiles=band_grid.tile_count,
+            x_tiles=band_grid.x_tiles, chunk=config.chunk,
+            interpret=interpret,
+        )
+    else:
+        feat = pad_feature_rows(feat)
+        img_tiles, _T = render_tiles(
+            feat, meta, background_rgb, layout.tile_has_output,
+            n_tiles=band_grid.tile_count, x_tiles=band_grid.x_tiles,
+            chunk=config.chunk, interpret=interpret,
+            precision=config.kernel_precision,
+        )
     band_img = tiles_to_image(img_tiles, band_grid)  # (band_rows*16, w, 3)
 
     # per-band stats leave as (1,)-arrays sharded on the model axis (psum /

@@ -110,18 +110,23 @@ class TrainingRunner:
         self._drain_lag = 16
         self._last_info = (0, {})
 
-        # data parallelism: D cameras per step over a D-device mesh
-        # (config.data_parallel=1 keeps the reference's one-camera step)
+        # parallel modes (composable): data parallelism renders D distinct
+        # cameras per step over the "data" mesh axis; gaussian-sharded
+        # model parallelism shards the scene + optimizer state + image
+        # tile-row bands over the "model" axis (parallel/gsharded.py).
+        # Both together use one 2D (data, model) mesh: each camera replica
+        # renders with its model group's bands (dp_mp_train_step).
         self.mesh = None
-        if config.data_parallel > 1:
-            from gaussian_splatting_tpu.parallel import make_mesh
-            from gaussian_splatting_tpu.parallel.mesh import replicate_state
-
-            if config.data_parallel > len(jax.devices()):
-                raise ValueError(
-                    f"data_parallel={config.data_parallel} but only "
-                    f"{len(jax.devices())} devices are available"
-                )
+        self.mp_mesh = None
+        self.dpmp_mesh = None
+        dp, mp = config.data_parallel, config.model_parallel
+        if dp * mp > len(jax.devices()):
+            raise ValueError(
+                f"data_parallel={dp} x model_parallel={mp} needs "
+                f"{dp * mp} devices but only {len(jax.devices())} are "
+                "available"
+            )
+        if dp > 1:
             sizes = {
                 (c.height, c.width) for c in data.cameras.values()
             }
@@ -130,34 +135,29 @@ class TrainingRunner:
                     "data_parallel>1 requires a single camera resolution; "
                     f"got {sizes}"
                 )
-            self.mesh = make_mesh(config.data_parallel)
-            self.state = replicate_state(self.state, self.mesh)
+        if mp > 1 and self.state.alive.shape[0] % mp:
+            raise ValueError("gaussian capacity must divide model_parallel")
+        if dp > 1 and mp > 1:
+            from gaussian_splatting_tpu.parallel import (
+                make_2d_mesh,
+                shard_state,
+            )
 
-        # gaussian-sharded model parallelism: the scene (and optimizer
-        # state) sharded over the mesh, each device rendering its own
-        # tile-row band (parallel/gsharded.py)
-        self.mp_mesh = None
-        if config.model_parallel > 1:
+            self.dpmp_mesh = make_2d_mesh(dp, mp)
+            self.state = shard_state(self.state, self.dpmp_mesh)
+        elif dp > 1:
+            from gaussian_splatting_tpu.parallel import make_mesh
+            from gaussian_splatting_tpu.parallel.mesh import replicate_state
+
+            self.mesh = make_mesh(dp)
+            self.state = replicate_state(self.state, self.mesh)
+        elif mp > 1:
             from gaussian_splatting_tpu.parallel import (
                 make_model_mesh,
                 shard_state,
             )
 
-            if config.data_parallel > 1:
-                raise ValueError(
-                    "data_parallel and model_parallel are mutually "
-                    "exclusive for now"
-                )
-            if config.model_parallel > len(jax.devices()):
-                raise ValueError(
-                    f"model_parallel={config.model_parallel} but only "
-                    f"{len(jax.devices())} devices are available"
-                )
-            if self.state.alive.shape[0] % config.model_parallel:
-                raise ValueError(
-                    "gaussian capacity must divide model_parallel"
-                )
-            self.mp_mesh = make_model_mesh(config.model_parallel)
+            self.mp_mesh = make_model_mesh(mp)
             self.state = shard_state(self.state, self.mp_mesh)
 
         self._synthetic_gt()
@@ -276,7 +276,7 @@ class TrainingRunner:
         gauss_cap = int(self.state.alive.shape[0])
         cur_vcap = cfg.visible_capacity or gauss_cap
         vbucket = capacity_bucket(
-            max(self._visible_watermark) * 13 // 10 + 1, 1 << 16
+            max(self._visible_watermark) * 23 // 20 + 1, 1 << 16
         )
         vbucket = min(vbucket, gauss_cap)
         if vbucket != cur_vcap:
@@ -292,7 +292,7 @@ class TrainingRunner:
         if self._tier_watermark:
             peak = np.max(np.stack(self._tier_watermark), axis=0)
             caps = [
-                capacity_bucket(int(p) * 13 // 10 + 64, f)
+                capacity_bucket(int(p) * 23 // 20 + 64, f)
                 for p, f in zip(peak, TIER_FLOORS)
             ]
             # bound total cells (ADVICE r1: growth must be capped); shave
@@ -477,6 +477,38 @@ class TrainingRunner:
         )
         return info
 
+    def _dpmp_step(self, i: int, band: int, cfg: SplatConfig):
+        """One composed-mesh step: Dd distinct train cameras, each rendered
+        by one model group of Dm gaussian shards (dp_mp_train_step)."""
+        from gaussian_splatting_tpu.parallel import dp_mp_train_step
+        from gaussian_splatting_tpu.parallel.mesh import shard_batch
+
+        d = cfg.data_parallel
+        idxs = self.rng.choice(
+            self.train_split, size=d, replace=len(self.train_split) < d
+        )
+        gts, Ks, poses = [], [], []
+        for idx in idxs:
+            im = self.data.images[int(idx)]
+            cam = self.data.cameras[im.camera_id]
+            gts.append(self._gt_u8_host(int(idx)))
+            Ks.append(cam.K)
+            poses.append(im.camera_T_world)
+        cam0 = self.data.cameras[self.data.images[int(idxs[0])].camera_id]
+        bg = np.broadcast_to(np.asarray(self.background_for(i)), (d, 3))
+        self.state, info = dp_mp_train_step(
+            self.state,
+            shard_batch(jnp.asarray(np.stack(gts)), self.dpmp_mesh),
+            shard_batch(jnp.asarray(np.stack(Ks)), self.dpmp_mesh),
+            shard_batch(jnp.asarray(np.stack(poses)), self.dpmp_mesh),
+            shard_batch(jnp.asarray(bg), self.dpmp_mesh),
+            config=cfg,
+            camera_hw=(cam0.height, cam0.width),
+            n_sh_band=band,
+            mesh=self.dpmp_mesh,
+        )
+        return info
+
     def _rereplicate(self):
         """Keep the state correctly placed after non-step jitted mutations
         (ADC, opacity reset) when running on a mesh: replicated in DP mode,
@@ -489,6 +521,10 @@ class TrainingRunner:
             from gaussian_splatting_tpu.parallel import shard_state
 
             self.state = shard_state(self.state, self.mp_mesh)
+        if self.dpmp_mesh is not None:
+            from gaussian_splatting_tpu.parallel import shard_state
+
+            self.state = shard_state(self.state, self.dpmp_mesh)
 
     def _eval_config(self) -> SplatConfig:
         """Evals render with the un-bucketed default capacities: the train
@@ -501,14 +537,14 @@ class TrainingRunner:
 
     def _eval_one(self, idx, cam, im, cfg, band):
         """One test view through the mode-appropriate eval step."""
-        if self.mp_mesh is not None:
+        if self.mp_mesh is not None or self.dpmp_mesh is not None:
             from gaussian_splatting_tpu.parallel import mp_eval_step
 
             return mp_eval_step(
                 self.state, self.gt_image_dev(idx),
                 jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
                 config=cfg, camera_hw=(cam.height, cam.width),
-                n_sh_band=band, mesh=self.mp_mesh,
+                n_sh_band=band, mesh=self.mp_mesh or self.dpmp_mesh,
             )
         return T.eval_step(
             self.state, self.gt_image_dev(idx),
@@ -621,7 +657,9 @@ class TrainingRunner:
                     new_cfg = new_cfg.replace(overflow_updates=False)
                 cfg = self.config = new_cfg
             step_count = 1
-            if self.mesh is not None:
+            if self.dpmp_mesh is not None:
+                info = self._dpmp_step(i, band, cfg)
+            elif self.mesh is not None:
                 info = self._dp_step(i, band, cfg)
             elif (
                 self.mp_mesh is None

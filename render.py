@@ -31,6 +31,9 @@ def build_parser():
     p.add_argument("--sh_band", type=int, default=3)
     p.add_argument("--depth", action="store_true",
                    help="also save depth maps (-1 = no surface)")
+    p.add_argument("--alpha_threshold", type=float, default=0.5,
+                   help="accumulated-alpha crossing that defines the depth "
+                   "surface (reference knob: splat_py/depth.py:18)")
     p.add_argument("--splat_capacity", type=int, default=1 << 22)
     return p
 
@@ -116,7 +119,8 @@ def main():
         if args.depth:
             d = render_depth(
                 params, alive, jnp.asarray(pose), cam,
-                alpha_threshold=0.5, near_thresh=cfg.near_thresh,
+                alpha_threshold=args.alpha_threshold,
+                near_thresh=cfg.near_thresh,
                 cull_mask_padding=cfg.cull_mask_padding,
                 mh_dist=cfg.mh_dist, splat_capacity=cfg.splat_capacity,
                 chunk=cfg.chunk,

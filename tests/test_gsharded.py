@@ -197,3 +197,51 @@ def test_dp_mp_2d_mesh_matches_dp(setup):
         np.asarray(new_state.grad_accum_count),
         np.asarray(ref_state.grad_accum_count),
     )
+
+
+def test_mp_render_per_pixel_sh_matches_single_device(setup):
+    """Per-pixel SH (use_sh_precompute=False) under model parallelism at
+    n_sh=9: the band renders' coefficient bundle + band-local pixel basis
+    must reproduce the single-device per-pixel path (the semantic spec is
+    the reference's splat_py/rasterize.py:95-99 else-branch)."""
+    state, cam, pose, _gt = setup
+    mesh = make_model_mesh(D)
+    cfg = CFG.replace(use_sh_precompute=False)
+
+    rng = np.random.default_rng(3)
+    params = dict(state.params)
+    params["sh"] = jnp.asarray(
+        rng.normal(scale=0.3, size=state.params["sh"].shape).astype(
+            np.float32
+        )
+    )
+
+    ref = rasterize(
+        params, state.alive, jnp.asarray(pose), cam,
+        near_thresh=cfg.near_thresh, far_thresh=cfg.far_thresh,
+        cull_mask_padding=cfg.cull_mask_padding, mh_dist=cfg.mh_dist,
+        background_rgb=jnp.zeros(3, jnp.float32), n_sh_band=2,
+        use_sh_precompute=False,
+        splat_capacity=cfg.splat_capacity, chunk=cfg.chunk,
+        interpret=True,
+    )
+
+    sstate = shard_state(state._replace(params=params), mesh)
+
+    @jax.jit
+    def run(params, alive):
+        img, visible, info = mp_render(
+            params, alive, jnp.asarray(pose), jnp.asarray(cam.K),
+            config=cfg, camera_hw=CAM_HW, n_sh_band=2,
+            background_rgb=jnp.zeros(3, jnp.float32), mesh=mesh,
+            interpret=True,
+        )
+        return img, visible, info
+
+    img, visible, _info = run(sstate.params, sstate.alive)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(ref.image), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(visible), np.asarray(ref.visible)
+    )
