@@ -312,14 +312,17 @@ def _tier_keys(sx, sy, wx, wy, obb, member, zq, k_cells, x_tiles, z_bits):
 
 
 def capacity_bucket(want: int, floor: int = 8) -> int:
-    """Smallest half-step power-of-two bucket (1 or 1.5 times 2^k) at or
-    above ``want``.  Coarse enough that runner re-bucketing (and so the
-    minutes-long TPU sort recompiles) stays rare, fine enough that the
-    padded splat-list width stays within ~1.5x of the live work."""
+    """Smallest quarter-step power-of-two bucket (4, 5, 6 or 7 times 2^k)
+    at or above ``want``.  Coarse enough that runner re-bucketing (and so
+    the minutes-long TPU sort recompiles) stays rare, fine enough that the
+    padded splat-list width stays within ~1.25x of the live work (sort
+    cost is linear in that width; the deterministic growth of a seeded
+    run replays the same bucket sequence, so the persistent compilation
+    cache absorbs the extra recompiles on reruns)."""
     want = max(int(want), int(floor), 1)
     c = 1
     while True:
-        for m in (2, 3):
+        for m in (4, 5, 6, 7):
             if m * c >= want:
                 return m * c
         c <<= 1
@@ -643,7 +646,15 @@ def _layout_impl(
     # position records the sort permutation so the VJP can invert it with
     # one sort (see _reduce_splat_grads).
     def flat(arrs):
-        return jnp.concatenate([x.reshape(-1) for x in arrs])
+        flats = tuple(x.reshape(-1) for x in arrs)
+        # materialise the per-tier pieces: without this barrier XLA fuses
+        # each tier's whole producer chain (SAT/key/broadcast/bitcasts)
+        # into the concat's one loop fusion, whose scoped-VMEM working set
+        # can blow past the 16 MB limit at some capacity tuples (observed
+        # in the wild: a 26-operand s32[3990912] fusion wanting 19.4 MB —
+        # a hard COMPILE error that killed a training run at a rebucket)
+        flats = jax.lax.optimization_barrier(flats)
+        return jnp.concatenate(flats)
 
     cand_key = flat(tier_keys)
     cand_gid = flat(
@@ -861,6 +872,7 @@ def _reduce_splat_grads(
     caps,
     m_comp: int,
     bf16: bool = False,
+    packed_rows: int | None = None,
 ) -> jax.Array:
     """VJP of the per-splat feature expansion: (R, S) splat-slot gradient
     rows -> (R, n) per-gaussian sums, with no scatter (a ~100ms/M-index
@@ -889,24 +901,41 @@ def _reduce_splat_grads(
     Each value is rounded to bf16 twice (once per sort), a ~0.4% relative
     noise consistent with the bf16 kernel matmuls that produced it.
     """
-    r, s_cap = feat_cot.shape
     c_cand = pos_sorted.shape[0]
     n = gid_full.shape[0]
-    # sanitise: slots past num_splats are never written by the backward
-    # kernel (their windows are unvisited), so their rows can be garbage
-    g = jnp.where(valid[None, :s_cap], feat_cot, 0.0)
-    if c_cand > s_cap:
-        # cells whose slots were truncated by splat_capacity get zero grad
-        g = jnp.pad(g, ((0, 0), (0, c_cand - s_cap)))
+    if packed_rows is not None:
+        # feat_cot is ALREADY the inversion sort's operand format: (P, S)
+        # i32 rows of bf16 pairs, zero-filled in-kernel for every dead
+        # window (ops/render._render_bwd packed=True) — no sanitise, no
+        # pack pass
+        r = packed_rows
+        s_cap = feat_cot.shape[1]
+        n_packs = (r + 1) // 2
+        if c_cand > s_cap:
+            g = jnp.pad(feat_cot, ((0, 0), (0, c_cand - s_cap)))
+        else:
+            g = feat_cot[:, :c_cand]
+        packs = [g[i] for i in range(n_packs)]
+        bf16 = True
     else:
-        g = g[:, :c_cand]
+        r, s_cap = feat_cot.shape
+        # sanitise: slots past num_splats are never written by the backward
+        # kernel (their windows are unvisited), so their rows can be garbage
+        g = jnp.where(valid[None, :s_cap], feat_cot, 0.0)
+        if c_cand > s_cap:
+            # cells whose slots were truncated by splat_capacity get zero
+            # grad
+            g = jnp.pad(g, ((0, 0), (0, c_cand - s_cap)))
+        else:
+            g = g[:, :c_cand]
+        packs = _pack_rows([g[i] for i in range(r)], bf16)
     inv = jax.lax.sort(
-        tuple([pos_sorted] + _pack_rows([g[i] for i in range(r)], bf16)),
+        tuple([pos_sorted] + packs),
         num_keys=1, is_stable=False,
     )
     cells = _unpack_rows(inv[1:], r, bf16)
 
-    acc = jnp.zeros((r, m_comp), feat_cot.dtype)
+    acc = jnp.zeros((r, m_comp), cells[0].dtype)
     off = 0
     for k_cells, cap_i, start in zip(TIER_CELLS, caps, tier_starts):
         seg = jnp.stack(

@@ -39,6 +39,9 @@ GRAD_U, GRAD_V, GRAD_OPACITY = 0, 1, 2
 GRAD_A, GRAD_B, GRAD_C = 3, 4, 5
 GRAD_R, GRAD_G, GRAD_B_COL = 6, 7, 8
 GRAD_ROWS = 16
+# packed backward output: the 9 gradient rows as 5 bf16-pair i32 rows
+# ((gu,gv),(gop,ga),(gb,gc),(gr,gg),(gb,0)), padded to a full i32 sublane
+GRAD_PACKED_ROWS = 8
 
 # rows of the per-tile image output (TILE_OUT_ROWS, (n_tiles+1)*256):
 #   premultiplied r, g, b and final transmittance

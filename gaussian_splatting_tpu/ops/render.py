@@ -95,8 +95,25 @@ def build_step_meta(layout, n_tiles: int, chunk: int):
     step_tile = jnp.where(sids < used, step_tile, n_tiles)
     st_safe = jnp.minimum(step_tile, n_tiles - 1)
     win = wfirst[st_safe] + (sids - off[st_safe])
-    step_win_in = jnp.where(sids < used, win, 0)
-    step_win_out = jnp.where(sids < used, win, n_win)
+    # unused trailing steps SWEEP the windows past the live prefix so the
+    # backward kernel zero-fills every output window (its packed-bf16 rows
+    # would otherwise unpack stale-HBM garbage into the gradient
+    # reduction); in and out use the SAME window id so new_window fires on
+    # every tail step (each zero-write starts from 0, never from a stale
+    # revolving VMEM buffer).  Extra steps past n_win pile onto the dummy
+    # block, which the caller slices off.  There are always enough unused
+    # steps: used <= covered_windows + n_tiles and g_steps = n_win +
+    # n_tiles.
+    cover = jnp.where(
+        starts[n_tiles] > 0,
+        jnp.maximum(starts[n_tiles] - 1, 0) // chunk + 1,
+        0,
+    )
+    tail = jnp.minimum(cover + (sids - used), n_win)
+    step_win_in = jnp.where(
+        sids < used, win, jnp.minimum(tail, n_win - 1)
+    )
+    step_win_out = jnp.where(sids < used, win, tail)
     zero = jnp.zeros((1,), jnp.int32)
     tile_info = jnp.stack(
         [
@@ -451,9 +468,22 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
-                info_ref, feat_ref, gi_ref, gout_ref, t_col, pg_col, e_col,
-                sat_ref):
+def _pack2_bf16_kernel(x, y):
+    """Two (1, CHUNK) f32 rows -> one i32 row of bf16 halves (x low, y
+    high) — the in-kernel twin of culling._pack2_bf16, so the backward can
+    emit gradient rows already in the inversion sort's operand format."""
+    xh = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    yh = jax.lax.bitcast_convert_type(
+        y.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return (xh | (yh << 16)).astype(jnp.int32)
+
+
+def _bwd_kernel(chunk_len, x_tiles, bf16, packed, tile_ref, win_ref,
+                wout_ref, info_ref, feat_ref, gi_ref, gout_ref, t_col,
+                pg_col, e_col, sat_ref):
     s = pl.program_id(0)
     _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
         tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
@@ -468,10 +498,12 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
 
     # chunk-level early exit (see _fwd_kernel): fully-saturated tiles give
     # every remaining splat zero gradient, so only the zero-write of the
-    # output block remains
-    saturated = sat_ref[0] == 1
+    # output block remains.  Empty steps (unused tail sweep, lo == hi)
+    # likewise skip straight to the zero-write — they are ~30% of the grid
+    # at bench scale.
+    compute = (hi > lo) & (sat_ref[0] == 0)
 
-    @pl.when(~saturated)
+    @pl.when(compute)
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
@@ -545,51 +577,83 @@ def _bwd_kernel(chunk_len, x_tiles, bf16, tile_ref, win_ref, wout_ref,
 
         # grad rgb: the reference uses the clamped alpha here
         # (render_backward.cu:193-196)
-        gblock = jnp.concatenate(
-            [
-                gu_row,
-                gv_row,
-                gop_row,
-                ga_row,
-                gb_row,
-                gc_row,
-                _mm(g, wgt, (((1,), (0,)))),
-                jnp.zeros(
-                    (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk), jnp.float32
-                ),
-            ],
-            axis=0,
-        )
+        grgb = _mm(g, wgt, (((1,), (0,))))  # (3, CHUNK)
+        if packed:
+            # emit the rows already as the inversion sort's bf16-pair i32
+            # operands: half the output DMA, and no XLA-side sanitise/pack
+            # pass between the kernel and the sort
+            zrow = jnp.zeros((1, chunk), jnp.float32)
+            gblock = jnp.concatenate(
+                [
+                    _pack2_bf16_kernel(gu_row, gv_row),
+                    _pack2_bf16_kernel(gop_row, ga_row),
+                    _pack2_bf16_kernel(gb_row, gc_row),
+                    _pack2_bf16_kernel(grgb[0:1, :], grgb[1:2, :]),
+                    _pack2_bf16_kernel(grgb[2:3, :], zrow),
+                    jnp.zeros(
+                        (cc.GRAD_PACKED_ROWS - 5, chunk), jnp.int32
+                    ),
+                ],
+                axis=0,
+            )
+        else:
+            gblock = jnp.concatenate(
+                [
+                    gu_row,
+                    gv_row,
+                    gop_row,
+                    ga_row,
+                    gb_row,
+                    gc_row,
+                    grgb,
+                    jnp.zeros(
+                        (cc.GRAD_ROWS - cc.GRAD_B_COL - 1, chunk),
+                        jnp.float32,
+                    ),
+                ],
+                axis=0,
+            )
         # a boundary window is visited by two consecutive steps (one per
         # tile) with complementary lane ranges: the first visit zero-fills
         # the other lanes, the second merges with the resident block
         # (consecutive steps share the same output block, so it is still
         # in VMEM)
-        prev = jnp.where(new_window, 0.0, gout_ref[:])
+        prev = jnp.where(new_window, jnp.zeros_like(gblock), gout_ref[:])
         gout_ref[:] = jnp.where(t["in_range"], gblock, prev)
 
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
         pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
         sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
-    @pl.when(saturated)
+    @pl.when(~compute)
     def _():
         chunk = gout_ref.shape[1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         in_range = (lane >= lo) & (lane < hi)
-        prev = jnp.where(new_window, 0.0, gout_ref[:])
-        gout_ref[:] = jnp.where(in_range, 0.0, prev)
+        zero = jnp.zeros_like(gout_ref[:])
+        prev = jnp.where(new_window, zero, gout_ref[:])
+        gout_ref[:] = jnp.where(in_range, zero, prev)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_tiles", "x_tiles", "chunk", "interpret", "bf16"),
+    static_argnames=(
+        "n_tiles", "x_tiles", "chunk", "interpret", "bf16", "packed",
+    ),
 )
 def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
-                bf16=False):
+                bf16=False, packed=False):
+    """Per-splat gradient rows.  ``packed=True`` (bf16 production) emits
+    (GRAD_PACKED_ROWS, S) i32 rows of bf16 pairs — the gradient-reduction
+    sort's exact operand format (culling._reduce_splat_grads) — with every
+    output window zero-filled in-kernel (the tail sweep in
+    build_step_meta), so nothing between the kernel and the sort touches
+    the rows."""
     step_tile, win_in, win_out, tile_info = meta
     n_splats = feat.shape[1]
     g_steps = step_tile.shape[0]
+    out_rows = cc.GRAD_PACKED_ROWS if packed else cc.GRAD_ROWS
+    out_dtype = jnp.int32 if packed else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(g_steps,),
@@ -605,7 +669,7 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (cc.GRAD_ROWS, chunk), lambda s, t, wi, wo, info: (0, wo[s]),
+            (out_rows, chunk), lambda s, t, wi, wo, info: (0, wo[s]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -616,10 +680,10 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk, x_tiles, bf16),
+        functools.partial(_bwd_kernel, chunk, x_tiles, bf16, packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (cc.GRAD_ROWS, n_splats + chunk), jnp.float32
+            (out_rows, n_splats + chunk), out_dtype
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -189,10 +189,12 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         e_col[:] = _row_to_col(gi_ref[3:4, :])
         sat_ref[0] = 0
 
-    # chunk-level early exit once every pixel saturates (ops/render.py)
-    saturated = sat_ref[0] == 1
+    # chunk-level early exit once every pixel saturates, and empty steps
+    # (unused tail sweep, lo == hi) skip straight to the zero-write
+    # (ops/render.py)
+    compute = (hi > lo) & (sat_ref[0] == 0)
 
-    @pl.when(~saturated)
+    @pl.when(compute)
     def _():
         f = feat_ref[:]
         chunk = f.shape[1]
@@ -273,7 +275,7 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
         pg_col[:] += jnp.sum(cw, axis=1, keepdims=True)
         sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
-    @pl.when(saturated)
+    @pl.when(~compute)
     def _():
         chunk = gout_ref.shape[1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)

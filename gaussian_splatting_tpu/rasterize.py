@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussian_splatting_tpu import geometry as geo
+from gaussian_splatting_tpu import culling as cu
 from gaussian_splatting_tpu.culling import (
     frustum_visible_rows,
     layout_with_features,
@@ -27,7 +28,11 @@ from gaussian_splatting_tpu.ops.depth import (
 )
 from gaussian_splatting_tpu.ops import render_sh as rsh
 from gaussian_splatting_tpu.ops.render import (
+    _finish,
+    _render_bwd,
+    _render_fwd,
     build_step_meta,
+    default_interpret,
     pad_feature_rows,
     render_tiles,
     splat_feature_rows,
@@ -93,6 +98,122 @@ def _check_inputs(params: dict, alive, camera_T_world, camera):
         )
     if tuple(camera.K.shape) != (3, 3):
         raise ValueError(f"camera.K shape {tuple(camera.K.shape)} != (3, 3)")
+
+
+def _dc_fwd_impl(feat_g, background_rgb, uv, conic, z, visible, grid,
+                 mh_dist, splat_capacity, chunk, visible_capacity,
+                 tier_capacities, precision, interpret):
+    layout, feat, aux = cu._layout_impl(
+        uv, conic, z, visible, feat_g, grid, mh_dist, splat_capacity,
+        chunk, visible_capacity, tier_capacities, precision,
+    )
+    meta = build_step_meta(layout, grid.tile_count, chunk)
+    featp = pad_feature_rows(feat)
+    empty_tile = jax.lax.stop_gradient(
+        jnp.repeat(~layout.tile_has_output, cc.PIXELS_PER_TILE)[None, :]
+    )
+    raw = _render_fwd(
+        featp, meta, n_tiles=grid.tile_count, x_tiles=grid.x_tiles,
+        chunk=chunk, interpret=interpret, bf16=precision == "bf16",
+    )
+    out = _finish(raw, background_rgb, grid.tile_count, empty_tile)
+    return out, layout, (featp, meta, out, aux)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+)
+def _render_dc(feat_g, background_rgb, uv, conic, z, visible, grid,
+               mh_dist, splat_capacity, chunk, visible_capacity,
+               tier_capacities, precision, interpret):
+    """Fused DC hot path: layout + expansion + Pallas render as ONE
+    custom_vjp, so the backward kernel can hand the gradient-reduction
+    sort its operands DIRECTLY (packed bf16-pair i32 rows, zero-filled
+    in-kernel) — the separate layout/render VJP boundary forced an f32
+    (R, S) cotangent round-trip (sanitise + pack passes over every padded
+    cell).  Semantics match layout_with_features + render_tiles exactly;
+    differentiable in feat_g and background_rgb only (the discrete tile
+    assignment gives uv/conic/z no gradient, splat_py/rasterize.py:84).
+
+    Returns (out (4, n_tiles*256) = image rows + T row, SplatLayout).
+    """
+    out, layout, _ = _dc_fwd_impl(
+        feat_g, background_rgb, uv, conic, z, visible, grid, mh_dist,
+        splat_capacity, chunk, visible_capacity, tier_capacities,
+        precision, interpret,
+    )
+    return out, layout
+
+
+def _render_dc_fwd(feat_g, background_rgb, uv, conic, z, visible, grid,
+                   mh_dist, splat_capacity, chunk, visible_capacity,
+                   tier_capacities, precision, interpret):
+    out, layout, (featp, meta, out_res, aux) = _dc_fwd_impl(
+        feat_g, background_rgb, uv, conic, z, visible, grid, mh_dist,
+        splat_capacity, chunk, visible_capacity, tier_capacities,
+        precision, interpret,
+    )
+    zero_tpl = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        (uv, conic, z, visible),
+    )
+    res = (
+        featp, meta, out_res,
+        aux["valid_slot"], aux["pos_sorted"], aux["gid_full"],
+        aux["tier_starts"], zero_tpl, feat_g.shape,
+    )
+    return (out, layout), res
+
+
+def _render_dc_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
+                   tier_capacities, precision, interpret, res, cot):
+    (featp, meta, out, valid_slot, pos_sorted, gid_full, tier_starts,
+     zero_tpl, feat_shape) = res
+    cot_out, _cot_layout = cot
+    n_tiles = grid.tile_count
+    bf16 = precision == "bf16"
+    r, n = feat_shape
+
+    img, T = out[0:3, :], out[3, :]
+    g_img, g_t = cot_out[0:3, :], cot_out[3, :]
+    # E = sum_ch color_total * g + g_T * T (see ops/render._render_core_bwd)
+    e_row = jnp.sum(img * g_img, axis=0) + g_t * T
+    pad = (n_tiles + 1) * cc.PIXELS_PER_TILE - e_row.shape[0]
+    gi = jnp.concatenate([g_img, e_row[None, :]], axis=0)
+    gi = jnp.pad(gi, ((0, cc.OUT_ROWS - 4), (0, pad)))
+
+    graw = _render_bwd(
+        featp, meta, gi, n_tiles=n_tiles, x_tiles=grid.x_tiles,
+        chunk=chunk, interpret=interpret, bf16=bf16, packed=bf16,
+    )
+    m_comp = cu._compacted_width(n, visible_capacity)
+    caps = cu._tier_capacities(m_comp, splat_capacity, tier_capacities)
+    if bf16:
+        gfeat = cu._reduce_splat_grads(
+            graw, None, pos_sorted, gid_full, tier_starts, caps, m_comp,
+            packed_rows=r,
+        )
+    else:
+        gfeat = cu._reduce_splat_grads(
+            graw[:r], valid_slot, pos_sorted, gid_full, tier_starts, caps,
+            m_comp, bf16=False,
+        )
+
+    bg_w = jnp.where(T > cc.BG_T_EPS, T, 0.0)
+    g_bg = jnp.sum(g_img * bg_w[None, :], axis=1)
+
+    import numpy as np
+
+    def zero_cot(s):
+        if s.dtype == jnp.bool_:
+            return np.zeros(s.shape, jax.dtypes.float0)
+        return jnp.zeros(s.shape, s.dtype)
+
+    g_uv, g_conic, g_z, g_vis = jax.tree_util.tree_map(zero_cot, zero_tpl)
+    return (gfeat, g_bg, g_uv, g_conic, g_z, g_vis)
+
+
+_render_dc.defvjp(_render_dc_fwd, _render_dc_bwd)
 
 
 def rasterize(
@@ -177,15 +298,14 @@ def rasterize(
         )
         feat_rows = cc.FEAT_ROWS
 
-    layout, feat = layout_with_features(
-        (u, v), conic3, zc, visible, feat_g, grid, mh_dist,
-        splat_capacity, chunk, visible_capacity, tier_capacities,
-        kernel_precision,
-    )
-    meta = build_step_meta(layout, grid.tile_count, chunk)
-    feat = pad_feature_rows(feat, feat_rows)
-
     if per_pixel_sh:
+        layout, feat = layout_with_features(
+            (u, v), conic3, zc, visible, feat_g, grid, mh_dist,
+            splat_capacity, chunk, visible_capacity, tier_capacities,
+            kernel_precision,
+        )
+        meta = build_step_meta(layout, grid.tile_count, chunk)
+        feat = pad_feature_rows(feat, feat_rows)
         basis = rsh.build_pixel_basis(
             camera.K, camera.width, camera.height, camera_T_world, n_sh, grid
         )
@@ -195,21 +315,29 @@ def rasterize(
             chunk=chunk, interpret=interpret,
         )
     else:
-        # kernel_precision="bf16" packs the gradient-reduction sort
-        # operands (culling._reduce_splat_grads) AND switches the kernels'
-        # big triangular prefix matmuls to the hi/lo bf16-split (2 single-
-        # pass MXU matmuls, ~2^-16 relative error — see ops.render
-        # ._mm_scan).  The small real (colour/gradient) matmuls stay f32:
-        # single-pass bf16 there puts ~2^-9 noise straight on the image
-        # (measured 1.1e-2 max pixel delta) for ~2% of the MXU work.
-        # Round-2's "cast everything to bf16" experiment measured
-        # net-negative; the split keeps precision while still collapsing
-        # the f32 multi-pass on the ~98% that is prefix matmuls.
-        img_tiles, T = render_tiles(
-            feat, meta, background_rgb, layout.tile_has_output,
-            n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=chunk,
-            interpret=interpret, precision=kernel_precision,
+        # the DC hot path runs the FUSED layout+render custom_vjp: its
+        # backward kernel emits the gradient-reduction sort's operands
+        # directly (packed bf16 pairs under kernel_precision="bf16",
+        # zero-filled in-kernel) — no f32 cotangent round-trip between
+        # a layout VJP and a render VJP.  kernel_precision="bf16" also
+        # switches the kernels' big triangular prefix matmuls to the
+        # hi/lo bf16-split (2 single-pass MXU matmuls, ~2^-16 relative
+        # error — see ops.render._mm_scan); the small real
+        # (colour/gradient) matmuls stay f32 (single-pass bf16 there
+        # puts ~2^-9 noise straight on the image).
+        interp = (
+            default_interpret() if interpret is None else bool(interpret)
         )
+        out, layout = _render_dc(
+            feat_g, background_rgb, (u, v), conic3, zc, visible, grid,
+            mh_dist, splat_capacity, chunk, visible_capacity,
+            tier_capacities, kernel_precision, interp,
+        )
+        img_rows = out[0:3, :].reshape(
+            3, grid.tile_count, cc.PIXELS_PER_TILE
+        )
+        img_tiles = jnp.moveaxis(img_rows, 0, -1)
+        T = out[3, :].reshape(grid.tile_count, cc.PIXELS_PER_TILE)
     image = tiles_to_image(img_tiles, grid)
     return RenderResult(
         image=image,

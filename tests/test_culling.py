@@ -116,11 +116,19 @@ def test_layout_step_metadata_consistency(pipeline_outputs):
         np.asarray(x) for x in build_step_meta(layout, n_tiles, chunk)
     ]
     assert step_tile.shape == (s_out // chunk + n_tiles,)
+    n_win = s_out // chunk
+    cover = -(-int(starts[-1]) // chunk)  # windows the live prefix touches
     covered = np.zeros(s_out, bool)
+    swept = []
     for s in range(step_tile.shape[0]):
         t = step_tile[s]
         if t == n_tiles:
-            assert win_out[s] == s_out // chunk  # dummy output window
+            # unused steps SWEEP the windows past the live prefix (the
+            # backward zero-fills each swept window in-kernel), then pile
+            # onto the dummy block
+            assert win_in[s] == min(win_out[s], n_win - 1)
+            if win_out[s] < n_win:
+                swept.append(int(win_out[s]))
             continue
         w = win_in[s]
         assert w == win_out[s]
@@ -134,6 +142,10 @@ def test_layout_step_metadata_consistency(pipeline_outputs):
     # exactly the live slots are covered
     assert covered.sum() == starts[-1]
     assert covered[: starts[-1]].all()
+    # the tail sweep hits every window past the live prefix exactly once,
+    # in ascending order, with win_in == win_out (so new_window fires and
+    # the zero-write starts from 0, never a stale VMEM buffer)
+    assert swept == list(range(cover, n_win))
     # per-tile steps are consecutive and windows ascend
     for t in np.nonzero(counts)[0]:
         steps_t = np.nonzero(step_tile == t)[0]

@@ -207,3 +207,88 @@ def test_pallas_grads_match_oracle(with_bg):
             p / scale, o / scale, atol=2e-4,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+def test_fused_dc_vjp_matches_composed_pipeline():
+    """rasterize's fused DC custom_vjp (_render_dc: layout + expansion +
+    render in ONE vjp, backward kernel emitting packed bf16-pair sort
+    operands) must reproduce the composed layout_with_features +
+    render_tiles pipeline BITWISE in forward and backward under
+    kernel_precision="bf16" (the in-kernel pack applies the same one bf16
+    rounding the XLA-side pack did)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_splatting_tpu import geometry as geo
+    from gaussian_splatting_tpu import rasterize as RZ
+    from gaussian_splatting_tpu.culling import (
+        frustum_visible_rows,
+        layout_with_features,
+    )
+    from gaussian_splatting_tpu.ops import common as cc
+    from gaussian_splatting_tpu.ops.render import (
+        build_step_meta,
+        pad_feature_rows,
+        render_tiles,
+        splat_feature_rows,
+    )
+    from gaussian_splatting_tpu.structs import TileGrid
+    from tests import fixtures as fx
+
+    scene = fx.test_scene(opacity_presigmoid=True)
+    cam = fx.test_camera()
+    pose = fx.test_camera_T_world()
+    grid = TileGrid(cam.height, cam.width)
+    params = scene.params()
+    xyzT = params["xyz"].T
+    xc, yc, zc = geo.transform_rows(xyzT[0], xyzT[1], xyzT[2], pose)
+    u, v = geo.project_rows(xc, yc, zc, cam.K)
+    visible = frustum_visible_rows(
+        u, v, zc, (cam.width, cam.height), 0.3, 100.0, 10.0
+    ) & scene.alive
+    sig6 = geo.sigma_world_rows(params["quaternion"], params["scale"])
+    conic3 = geo.conic_rows(sig6, xc, yc, zc, cam.K, pose)
+    op_v = jax.nn.sigmoid(params["opacity"][:, 0])
+    rgbT = params["rgb"].T
+    feat_g = splat_feature_rows(
+        u, v, op_v, *conic3,
+        rgbT[0] * geo.SH_0, rgbT[1] * geo.SH_0, rgbT[2] * geo.SH_0,
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    scap = 1 << 14
+    rng = np.random.default_rng(0)
+    cot = jnp.asarray(
+        rng.normal(size=(grid.tile_count * 256 * 3,)).astype(np.float32)
+    )
+
+    def loss_old(fg):
+        layout, feat = layout_with_features(
+            (u, v), conic3, zc, visible, fg, grid, 3.0, scap, 256, 0,
+            None, "bf16",
+        )
+        meta = build_step_meta(layout, grid.tile_count, 256)
+        feat = pad_feature_rows(feat)
+        img_tiles, _ = render_tiles(
+            feat, meta, bg, layout.tile_has_output,
+            n_tiles=grid.tile_count, x_tiles=grid.x_tiles, chunk=256,
+            interpret=True, precision="bf16",
+        )
+        return jnp.sum(img_tiles.reshape(-1) * cot)
+
+    def loss_new(fg):
+        out, _layout = RZ._render_dc(
+            fg, bg, (u, v), conic3, zc, visible, grid, 3.0, scap, 256,
+            0, None, "bf16", True,
+        )
+        img_rows = out[0:3, :].reshape(
+            3, grid.tile_count, cc.PIXELS_PER_TILE
+        )
+        return jnp.sum(jnp.moveaxis(img_rows, 0, -1).reshape(-1) * cot)
+
+    np.testing.assert_array_equal(
+        float(loss_old(feat_g)), float(loss_new(feat_g))
+    )
+    go = np.asarray(jax.grad(loss_old)(feat_g))
+    gn = np.asarray(jax.grad(loss_new)(feat_g))
+    np.testing.assert_array_equal(go, gn)
