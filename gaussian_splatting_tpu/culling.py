@@ -50,11 +50,15 @@ from gaussian_splatting_tpu.structs import TILE_PX, TileGrid
 # trained scene lives (1-16 cells) — sort cost is linear in the padded
 # cell count, so tier fill is sort time.
 TIER_CELLS = (1, 2, 3, 4, 6, 8, 12, 16, 32, 64, 256, 1024, 4096)
-# Floor on tier capacities so tiny scenes (e.g. the 6-gaussian test
-# fixture) still route their gaussians somewhere; scaled down for the
-# big-cell tiers so the floors alone don't bloat the splat-list width.
+# Floor on tier capacities: every tier can always hold at least 32
+# members (a handful of huge-window gaussians must never overflow the
+# DEFAULT budget split — the 13-way equal-cells share leaves the big
+# tiers only ~20 members at splat_capacity 2^17), and the small-cell
+# tiers keep at least 256 cells so tiny scenes (the 6-gaussian test
+# fixture) route their gaussians somewhere.  Floors only bind in
+# default-capacity layouts; runner-rebucketed explicit caps exceed them.
 TIER_MIN = 64
-TIER_FLOORS = tuple(max(256 // k, 8) for k in TIER_CELLS)
+TIER_FLOORS = tuple(max(256 // k, 32) for k in TIER_CELLS)
 # Sentinel tile id for invalid candidate cells (sorts after any real tile).
 SENTINEL = jnp.int32(2**30)
 # Sentinel for packed (tile << z_bits | zq) candidate keys: int32 max, so

@@ -74,11 +74,11 @@ def test_overflow_step_is_skipped(setup):
     state = state._replace(params=params)
 
     # floor-level tier capacities (every explicit entry clamps up to
-    # TIER_FLOORS, >= 8 members) are far below the fixture's big-window
+    # TIER_FLOORS, >= 32 members) are far below the fixture's big-window
     # gaussians' member count once the scene is tiled: replicate the
-    # 16-slot scene 12x so the 3 visible gaussians become 36 members of
-    # one big tier (floor 8) -> guaranteed overflow
-    reps = 12
+    # 16-slot scene 24x so one big tier gets 48 members (> the 32-member
+    # floor) -> guaranteed overflow
+    reps = 24
     cap = 16 * reps
     tiled = {
         k: jnp.asarray(
@@ -123,10 +123,13 @@ def test_overflow_step_is_skipped(setup):
     )
 
     # ... and a non-overflowing step with the same inputs does update
+    # (explicit roomy caps, like the runner's rebucketed ones: 48 members
+    # in one tier exceeds the DEFAULT equal-cells share for big tiers)
+    cfg_ok = CFG.replace(tier_capacities=(64,) * len(TIER_CELLS))
     state3, info3 = T.train_step(
         jax.tree_util.tree_map(jnp.copy, state), gt, cam.K, pose,
         jnp.zeros(3, jnp.float32),
-        config=CFG, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
+        config=cfg_ok, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
     )
     assert not bool(info3["overflow"])
     assert not np.array_equal(
