@@ -117,18 +117,19 @@ def test_overflow_updates_escape_hatch():
     from gaussian_splatting_tpu.structs import GaussianScene
 
     _, gt, cam, pose = _setup()
-    # tile the 6-gaussian fixture 12x (jittered) so multiple gaussians share
-    # a tier — floor-level tier capacities of 1 member then overflow
+    # tile the 6-gaussian fixture 24x (jittered) so one tier collects
+    # enough members (> the 32-member TIER_FLOORS clamp that explicit
+    # capacities are raised to) that floor-level tier capacities overflow
     base = fx.test_scene(opacity_presigmoid=True, capacity=16)
     rng = np.random.default_rng(3)
-    reps = 12
+    reps = 24
     tile = lambda a: np.tile(np.asarray(a)[:6], (reps, 1))
     xyz = tile(base.xyz) + rng.normal(0, 0.05, (6 * reps, 3)).astype(
         np.float32
     )
     scene = GaussianScene.create(
         xyz.astype(np.float32), tile(base.rgb), tile(base.opacity),
-        tile(base.scale), tile(base.quaternion), capacity=128,
+        tile(base.scale), tile(base.quaternion), capacity=256,
     )
     state = T.init_train_state(scene, CFG)
     floor_caps = (1,) * len(TIER_CELLS)
