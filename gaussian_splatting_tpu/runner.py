@@ -23,6 +23,38 @@ from gaussian_splatting_tpu.dataio.dataset import SceneData, create_scene
 from gaussian_splatting_tpu.structs import GSMetricsLog
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "camera_hw", "splat_capacity")
+)
+def _gt_render_step(params, alive, camera_T_world, camera_K, *, config,
+                    camera_hw, splat_capacity):
+    """One jitted gt render for _synthetic_gt.
+
+    Rendering the synthetic targets eagerly dispatched every culling /
+    layout op individually (hundreds of round trips per view through the
+    remote-backend tunnel) — one compiled executable per capacity budget
+    amortises across all views.  kernel_precision follows the config (the
+    default bf16 mode keeps the candidate sort at 7 packed operands, the
+    quadratic-in-operands sort compile pathology; PERF.md)."""
+    from gaussian_splatting_tpu.rasterize import rasterize
+    from gaussian_splatting_tpu.structs import Camera
+
+    h, w = camera_hw
+    cam = Camera(K=camera_K, width=w, height=h)
+    return rasterize(
+        params, alive, camera_T_world, cam,
+        near_thresh=config.near_thresh, far_thresh=config.far_thresh,
+        cull_mask_padding=config.cull_mask_padding,
+        mh_dist=config.mh_dist,
+        background_rgb=jnp.zeros(3, jnp.float32), n_sh_band=0,
+        splat_capacity=splat_capacity, chunk=config.chunk,
+        kernel_precision=config.kernel_precision,
+    )
+
+
 def derive_capacity(n_points: int, config: SplatConfig) -> int:
     if config.gaussian_capacity > 0:
         return config.gaussian_capacity
@@ -168,7 +200,6 @@ class TrainingRunner:
         """For synthetic runs, render ground truth from a 'secret' scene."""
         if not self.synthetic:
             return
-        from gaussian_splatting_tpu.rasterize import rasterize
         from gaussian_splatting_tpu.structs import Camera
         from gaussian_splatting_tpu.dataio.dataset import create_scene
 
@@ -192,15 +223,11 @@ class TrainingRunner:
             # budgets (each distinct budget costs one extra compile,
             # amortised over all 96 views)
             for mult in (1, 2, 4):
-                res = rasterize(
+                res = _gt_render_step(
                     params, secret.alive, jnp.asarray(im.camera_T_world),
-                    cam,
-                    near_thresh=cfg.near_thresh, far_thresh=cfg.far_thresh,
-                    cull_mask_padding=cfg.cull_mask_padding,
-                    mh_dist=cfg.mh_dist,
-                    background_rgb=jnp.zeros(3, jnp.float32), n_sh_band=0,
+                    cam.K, config=cfg,
+                    camera_hw=(cam_info.height, cam_info.width),
                     splat_capacity=mult * cfg.splat_capacity,
-                    chunk=cfg.chunk,
                 )
                 if not bool(res.overflow):
                     break
