@@ -21,8 +21,11 @@ from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.render import (
     _alpha_terms,
     _col_to_row,
+    _im_input_window,
+    _im_tile,
     _log_one_minus,
     _step_scalars,
+    _tile_pack_base,
     _tri_matrices,
     default_interpret,
 )
@@ -47,12 +50,12 @@ def depth_features(uv, opacity, conic, xyz_camera):
     )
 
 
-def _depth_kernel(alpha_threshold, chunk_len, x_tiles, tile_ref, win_ref,
-                  wout_ref, info_ref, feat_ref, out_ref, t_col, depth_col,
+def _depth_kernel(alpha_threshold, chunk_len, x_tiles, n_tiles, n_win, base,
+                  tile_ref, info_ref, feat_ref, out_ref, t_col, depth_col,
                   found_col, done_ref):
     s = pl.program_id(0)
     _, first, last, _, lo, hi, tx, ty = _step_scalars(
-        tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
+        tile_ref, info_ref, s, chunk_len, x_tiles, n_tiles, n_win, base
     )
 
     @pl.when(first)
@@ -113,20 +116,24 @@ def _mm_cached(a, b):
 )
 def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
                 interpret):
-    step_tile, win_in, win_out, tile_info = meta
-    g_steps = step_tile.shape[0]
+    step_tile_packed, tile_info = meta
+    g_steps = 2 * step_tile_packed.shape[0]
+    n_win = feat.shape[1] // chunk
+    base = _tile_pack_base(n_tiles)
+    dims = dict(chunk=chunk, n_tiles=n_tiles, n_win=n_win, base=base)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
+                (cc.FEAT_ROWS, chunk),
+                functools.partial(_im_input_window, **dims),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (8, cc.PIXELS_PER_TILE),
-            lambda s, t, wi, wo, info: (0, t[s]),
+            functools.partial(_im_tile, base=base),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -137,7 +144,8 @@ def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
         ],
     )
     kernel = functools.partial(
-        _depth_kernel, float(alpha_threshold), chunk, x_tiles
+        _depth_kernel, float(alpha_threshold), chunk, x_tiles, n_tiles,
+        n_win, base
     )
     return pl.pallas_call(
         kernel,
@@ -146,7 +154,7 @@ def _depth_call(feat, meta, *, alpha_threshold, n_tiles, x_tiles, chunk,
             (8, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
         ),
         interpret=interpret,
-    )(step_tile, win_in, win_out, tile_info, feat)
+    )(step_tile_packed, tile_info, feat)
 
 
 def render_depth_tiles(

@@ -41,12 +41,89 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.structs import TILE_PX
 
-# per-tile info rows (scalar-prefetched (2, n_tiles+1) i32 array):
+# per-tile info rows (scalar-prefetched (3, n_tiles+1) i32 array):
 # row 0 = first slot, row 1 = one-past-last slot of the tile's range in the
-# tile-grouped splat array.  Keeping the SMEM footprint small (the first
-# draft prefetched 8 rows per chunk and blew the ~1MB SMEM budget at
-# 8M-splat capacity).
-INFO_START, INFO_END = 0, 1
+# tile-grouped splat array, row 2 = the tile's first grid step (exclusive
+# cumsum of per-tile step counts; entry n_tiles = total used steps).
+# SMEM is the binding budget (~1MB/core): the first draft prefetched 8 rows
+# per chunk, and rounds 1-3 prefetched three full (G,) per-step arrays,
+# which blew SMEM at reference-scale capacities (G ~ 140k steps at a 35M-
+# cell layout = 1.6MB).  The kernels now derive each step's input/output
+# window from this per-tile table (see _step_windows) and read the step ->
+# tile map from ONE array with two 16-ish-bit tile ids packed per i32.
+INFO_START, INFO_END, INFO_OFF = 0, 1, 2
+
+
+def _tile_pack_base(n_tiles: int) -> int:
+    """Radix for packing two step-tile ids (values 0..n_tiles) per i32.
+
+    base^2 - 1 must stay within i32 so the arithmetic unpack (div/mod by
+    the static base — Mosaic's scalar core has no unsigned ops in index
+    maps) never overflows: n_tiles <= 46339, i.e. images up to ~11.9MP at
+    16px tiles (the packed-key sort's own exact-fallback domain boundary
+    is 8MP; see culling.py)."""
+    base = n_tiles + 1
+    if base * base > 2**31 - 1:
+        raise ValueError(
+            f"{n_tiles} tiles exceeds the packed step-meta limit of 46339 "
+            "(~11.9MP at 16px tiles)"
+        )
+    return base
+
+
+def _unpack_tile(tile_ref, s, base):
+    """Step s's tile id from the packed 2-per-i32 step->tile array."""
+    q = tile_ref[s // 2]
+    b = jnp.int32(base)
+    return jnp.where(s % 2 == 0, jax.lax.rem(q, b), jax.lax.div(q, b))
+
+
+def _step_windows(info_ref, s, tile, chunk, n_tiles, n_win):
+    """Derive step s's (input window, output window) from the per-tile
+    info table — the in-kernel twin of the arrays build_step_meta used to
+    materialise.
+
+    Live steps (tile < n_tiles): tile t's steps are consecutive from
+    info[OFF, t], walking windows floor(start_t/chunk).. in order, so
+    win = start_t // chunk + (s - off_t), and in == out.
+    Dead steps (tile == n_tiles): the tail SWEEP visits every window past
+    the live prefix once in ascending order so the backward zero-fills
+    them (win_out ascends to the n_win dummy block; win_in clamps to a
+    real block so the input index stays in range)."""
+    ck = jnp.int32(chunk)
+    start_t = info_ref[INFO_START, tile]
+    off_t = info_ref[INFO_OFF, tile]
+    w_live = jax.lax.div(start_t, ck) + (s - off_t)
+    used = info_ref[INFO_OFF, n_tiles]
+    end_last = info_ref[INFO_END, n_tiles - 1]  # starts[n_tiles]
+    cover = jnp.where(
+        end_last > 0, jax.lax.div(end_last - 1, ck) + 1, 0
+    )
+    tail = jnp.minimum(cover + (s - used), n_win)
+    live = tile < n_tiles
+    win_in = jnp.where(live, w_live, jnp.minimum(tail, n_win - 1))
+    win_out = jnp.where(live, w_live, tail)
+    return win_in, win_out
+
+
+def _im_input_window(s, tile_ref, info_ref, *, chunk, n_tiles, n_win, base):
+    """Index map: step -> input window block."""
+    t = _unpack_tile(tile_ref, s, base)
+    wi, _ = _step_windows(info_ref, s, t, chunk, n_tiles, n_win)
+    return 0, wi
+
+
+def _im_output_window(s, tile_ref, info_ref, *, chunk, n_tiles, n_win,
+                      base):
+    """Index map: step -> output window block (backward gradient rows)."""
+    t = _unpack_tile(tile_ref, s, base)
+    _, wo = _step_windows(info_ref, s, t, chunk, n_tiles, n_win)
+    return 0, wo
+
+
+def _im_tile(s, tile_ref, info_ref, *, base):
+    """Index map: step -> tile block (image-layout operands/outputs)."""
+    return 0, _unpack_tile(tile_ref, s, base)
 
 
 def default_interpret() -> bool:
@@ -69,15 +146,23 @@ def build_step_meta(layout, n_tiles: int, chunk: int):
     lane-masking [start_t, end_t) within each.  A window straddling a tile
     boundary is visited once per tile with complementary masks.
 
-    Returns (step_tile (G,), step_win_in (G,), step_win_out (G,),
-    tile_info (2, n_tiles+1)) with G = num_steps(...).  Unused trailing
-    steps point at the dummy tile n_tiles and the dummy output window
-    S//chunk (so their writes land in padding blocks).
+    Returns (step_tile_packed (ceil(G/2),), tile_info (3, n_tiles+1)) with
+    G = num_steps(...) rounded up to even: the step -> tile map with two
+    ids packed per i32 (radix n_tiles+1; the dummy id n_tiles marks unused
+    trailing steps), plus the per-tile table the kernels derive everything
+    else from (_step_windows).  Unused trailing steps SWEEP the windows
+    past the live prefix so the backward kernel zero-fills every output
+    window (its packed-bf16 rows would otherwise unpack stale-HBM garbage
+    into the gradient reduction); steps past n_win pile onto the dummy
+    output block, which the caller slices off.  There are always enough
+    unused steps: used <= covered_windows + n_tiles and G >= n_win +
+    n_tiles.
     """
     starts = layout.tile_starts  # (n_tiles+1,)
     s_cap = layout.gaussian_idx.shape[0]
-    n_win = s_cap // chunk
     g_steps = num_steps(s_cap, n_tiles, chunk)
+    g_steps += g_steps % 2
+    base = _tile_pack_base(n_tiles)
     counts = starts[1:] - starts[:-1]
     wfirst = starts[:-1] // chunk
     wlast = jnp.maximum(starts[1:] - 1, 0) // chunk
@@ -93,38 +178,38 @@ def build_step_meta(layout, n_tiles: int, chunk: int):
     )
     step_tile = jax.lax.cummax(marker[:g_steps])
     step_tile = jnp.where(sids < used, step_tile, n_tiles)
-    st_safe = jnp.minimum(step_tile, n_tiles - 1)
-    win = wfirst[st_safe] + (sids - off[st_safe])
-    # unused trailing steps SWEEP the windows past the live prefix so the
-    # backward kernel zero-fills every output window (its packed-bf16 rows
-    # would otherwise unpack stale-HBM garbage into the gradient
-    # reduction); in and out use the SAME window id so new_window fires on
-    # every tail step (each zero-write starts from 0, never from a stale
-    # revolving VMEM buffer).  Extra steps past n_win pile onto the dummy
-    # block, which the caller slices off.  There are always enough unused
-    # steps: used <= covered_windows + n_tiles and g_steps = n_win +
-    # n_tiles.
-    cover = jnp.where(
-        starts[n_tiles] > 0,
-        jnp.maximum(starts[n_tiles] - 1, 0) // chunk + 1,
-        0,
-    )
-    tail = jnp.minimum(cover + (sids - used), n_win)
-    step_win_in = jnp.where(
-        sids < used, win, jnp.minimum(tail, n_win - 1)
-    )
-    step_win_out = jnp.where(sids < used, win, tail)
+    packed = step_tile[0::2] + step_tile[1::2] * jnp.int32(base)
     zero = jnp.zeros((1,), jnp.int32)
     tile_info = jnp.stack(
         [
             jnp.concatenate([starts[:-1], zero]),
             jnp.concatenate([starts[1:], zero]),
+            off,
         ]
     )
-    return step_tile, step_win_in, step_win_out, tile_info
+    return packed, tile_info
 
 
-def _step_scalars(tile_ref, win_ref, info_ref, s, chunk, x_tiles):
+def expand_step_meta(meta, n_tiles: int, chunk: int, splat_capacity: int):
+    """Expand compact step meta back to per-step (tile, win_in, win_out)
+    arrays via the SAME derivation the kernels' scalar reads use — for
+    tests and debugging (tests/test_culling.py pins the derivation against
+    the layout)."""
+    tile_packed, tile_info = meta
+    base = _tile_pack_base(n_tiles)
+    g_steps = 2 * tile_packed.shape[0]
+    n_win = splat_capacity // chunk
+    s = jnp.arange(g_steps, dtype=jnp.int32)
+    q = tile_packed[s // 2]
+    tile = jnp.where(s % 2 == 0, q % base, q // base)
+    win_in, win_out = _step_windows(
+        tile_info, s, tile, chunk, n_tiles, n_win
+    )
+    return tile, win_in, win_out
+
+
+def _step_scalars(tile_ref, info_ref, s, chunk, x_tiles, n_tiles, n_win,
+                  base):
     """Derive one grid step's scalars from the compact SMEM metadata.
 
     Returns (tile, first, last, new_window, lo, hi, tx, ty): first/last
@@ -132,18 +217,19 @@ def _step_scalars(tile_ref, win_ref, info_ref, s, chunk, x_tiles):
     new_window flags the first step touching this input window (backward
     read-modify-write), [lo, hi) is the tile's lane range in the window.
     """
-    g_steps = tile_ref.shape[0]
-    tile = tile_ref[s]
-    prev_tile = tile_ref[jnp.maximum(s - 1, 0)]
-    next_tile = tile_ref[jnp.minimum(s + 1, g_steps - 1)]
+    g_steps = 2 * tile_ref.shape[0]
+    tile = _unpack_tile(tile_ref, s, base)
+    sm = jnp.maximum(s - 1, 0)
+    prev_tile = _unpack_tile(tile_ref, sm, base)
+    next_tile = _unpack_tile(tile_ref, jnp.minimum(s + 1, g_steps - 1), base)
     first = jnp.logical_or(s == 0, prev_tile != tile)
     last = jnp.logical_or(s == g_steps - 1, next_tile != tile)
-    w = win_ref[s]
-    prev_w = win_ref[jnp.maximum(s - 1, 0)]
+    w, _ = _step_windows(info_ref, s, tile, chunk, n_tiles, n_win)
+    prev_w, _ = _step_windows(info_ref, sm, prev_tile, chunk, n_tiles, n_win)
     new_window = jnp.logical_or(s == 0, prev_w != w)
-    base = w * chunk
-    lo = jnp.clip(info_ref[INFO_START, tile] - base, 0, chunk)
-    hi = jnp.clip(info_ref[INFO_END, tile] - base, 0, chunk)
+    cell0 = w * chunk
+    lo = jnp.clip(info_ref[INFO_START, tile] - cell0, 0, chunk)
+    hi = jnp.clip(info_ref[INFO_END, tile] - cell0, 0, chunk)
     tx = jax.lax.rem(tile, jnp.int32(x_tiles))
     ty = jax.lax.div(tile, jnp.int32(x_tiles))
     return tile, first, last, new_window, lo, hi, tx, ty
@@ -374,11 +460,11 @@ def _log_one_minus(at):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
-                feat_ref, out_ref, t_col, acc, sat_ref):
+def _fwd_kernel(chunk, x_tiles, n_tiles, n_win, base, bf16, tile_ref,
+                info_ref, feat_ref, out_ref, t_col, acc, sat_ref):
     s = pl.program_id(0)
     _, first, last, _, lo, hi, tx, ty = _step_scalars(
-        tile_ref, win_ref, info_ref, s, chunk, x_tiles
+        tile_ref, info_ref, s, chunk, x_tiles, n_tiles, n_win, base
     )
 
     @pl.when(first)
@@ -425,21 +511,25 @@ def _fwd_kernel(chunk, x_tiles, bf16, tile_ref, win_ref, wout_ref, info_ref,
 )
 def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret,
                 bf16=False):
-    step_tile, win_in, win_out, tile_info = meta
+    step_tile_packed, tile_info = meta
     n_splats = feat.shape[1]
-    g_steps = step_tile.shape[0]
+    g_steps = 2 * step_tile_packed.shape[0]
+    n_win = n_splats // chunk
+    base = _tile_pack_base(n_tiles)
+    dims = dict(chunk=chunk, n_tiles=n_tiles, n_win=n_win, base=base)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
+                (cc.FEAT_ROWS, chunk),
+                functools.partial(_im_input_window, **dims),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-            lambda s, t, wi, wo, info: (0, t[s]),
+            functools.partial(_im_tile, base=base),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -449,7 +539,9 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk, x_tiles, bf16),
+        functools.partial(
+            _fwd_kernel, chunk, x_tiles, n_tiles, n_win, base, bf16
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (cc.OUT_ROWS, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
@@ -460,7 +552,7 @@ def _render_fwd(feat, meta, *, n_tiles, x_tiles, chunk, interpret,
             bytes_accessed=4 * n_splats * cc.FEAT_ROWS,
             transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
         ),
-    )(step_tile, win_in, win_out, tile_info, feat)
+    )(step_tile_packed, tile_info, feat)
 
 
 # ---------------------------------------------------------------------------
@@ -481,12 +573,12 @@ def _pack2_bf16_kernel(x, y):
     return (xh | (yh << 16)).astype(jnp.int32)
 
 
-def _bwd_kernel(chunk_len, x_tiles, bf16, packed, tile_ref, win_ref,
-                wout_ref, info_ref, feat_ref, gi_ref, gout_ref, t_col,
+def _bwd_kernel(chunk_len, x_tiles, n_tiles, n_win, base, bf16, packed,
+                tile_ref, info_ref, feat_ref, gi_ref, gout_ref, t_col,
                 pg_col, e_col, sat_ref):
     s = pl.program_id(0)
     _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
-        tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
+        tile_ref, info_ref, s, chunk_len, x_tiles, n_tiles, n_win, base
     )
 
     @pl.when(first)
@@ -649,27 +741,32 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
     output window zero-filled in-kernel (the tail sweep in
     build_step_meta), so nothing between the kernel and the sort touches
     the rows."""
-    step_tile, win_in, win_out, tile_info = meta
+    step_tile_packed, tile_info = meta
     n_splats = feat.shape[1]
-    g_steps = step_tile.shape[0]
+    g_steps = 2 * step_tile_packed.shape[0]
+    n_win = n_splats // chunk
+    base = _tile_pack_base(n_tiles)
+    dims = dict(chunk=chunk, n_tiles=n_tiles, n_win=n_win, base=base)
     out_rows = cc.GRAD_PACKED_ROWS if packed else cc.GRAD_ROWS
     out_dtype = jnp.int32 if packed else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (cc.FEAT_ROWS, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
+                (cc.FEAT_ROWS, chunk),
+                functools.partial(_im_input_window, **dims),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-                lambda s, t, wi, wo, info: (0, t[s]),
+                functools.partial(_im_tile, base=base),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (out_rows, chunk), lambda s, t, wi, wo, info: (0, wo[s]),
+            (out_rows, chunk),
+            functools.partial(_im_output_window, **dims),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -680,7 +777,9 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk, x_tiles, bf16, packed),
+        functools.partial(
+            _bwd_kernel, chunk, x_tiles, n_tiles, n_win, base, bf16, packed
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (out_rows, n_splats + chunk), out_dtype
@@ -691,7 +790,7 @@ def _render_bwd(feat, meta, gi, *, n_tiles, x_tiles, chunk, interpret,
             bytes_accessed=8 * n_splats * cc.FEAT_ROWS,
             transcendentals=2 * n_splats * cc.PIXELS_PER_TILE,
         ),
-    )(step_tile, win_in, win_out, tile_info, feat, gi)
+    )(step_tile_packed, tile_info, feat, gi)
     return out[:, :n_splats]
 
 

@@ -35,11 +35,15 @@ from gaussian_splatting_tpu.ops import common as cc
 from gaussian_splatting_tpu.ops.render import (
     _alpha_terms,
     _col_to_row,
+    _im_input_window,
+    _im_output_window,
+    _im_tile,
     _log_one_minus,
     _mm,
     _pixel_basis,
     _row_to_col,
     _step_scalars,
+    _tile_pack_base,
     _tri_matrices,
     default_interpret,
 )
@@ -86,11 +90,12 @@ def _sh_color_rows(n_sh):
     return SH_BASE_ROWS, SH_BASE_ROWS + 3 * n_sh
 
 
-def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
-                feat_ref, basis_ref, out_ref, t_col, acc, sat_ref):
+def _fwd_kernel(n_sh, chunk, x_tiles, n_tiles, n_win, base, tile_ref,
+                info_ref, feat_ref, basis_ref, out_ref, t_col, acc,
+                sat_ref):
     s = pl.program_id(0)
     _, first, last, _, lo, hi, tx, ty = _step_scalars(
-        tile_ref, win_ref, info_ref, s, chunk, x_tiles
+        tile_ref, info_ref, s, chunk, x_tiles, n_tiles, n_win, base
     )
 
     @pl.when(first)
@@ -135,27 +140,31 @@ def _fwd_kernel(n_sh, chunk, x_tiles, tile_ref, win_ref, wout_ref, info_ref,
 )
 def _render_fwd(feat, basis, meta, *, n_sh, n_tiles, x_tiles, chunk,
                 interpret):
-    step_tile, win_in, win_out, tile_info = meta
-    g_steps = step_tile.shape[0]
+    step_tile_packed, tile_info = meta
+    g_steps = 2 * step_tile_packed.shape[0]
+    n_win = feat.shape[1] // chunk
+    base = _tile_pack_base(n_tiles)
+    dims = dict(chunk=chunk, n_tiles=n_tiles, n_win=n_win, base=base)
     feat_rows = feat.shape[0]
     basis_rows = basis.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (feat_rows, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
+                (feat_rows, chunk),
+                functools.partial(_im_input_window, **dims),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (basis_rows, cc.PIXELS_PER_TILE),
-                lambda s, t, wi, wo, info: (0, t[s]),
+                functools.partial(_im_tile, base=base),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-            lambda s, t, wi, wo, info: (0, t[s]),
+            functools.partial(_im_tile, base=base),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -165,21 +174,23 @@ def _render_fwd(feat, basis, meta, *, n_sh, n_tiles, x_tiles, chunk,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_sh, chunk, x_tiles),
+        functools.partial(
+            _fwd_kernel, n_sh, chunk, x_tiles, n_tiles, n_win, base
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (cc.OUT_ROWS, (n_tiles + 1) * cc.PIXELS_PER_TILE), jnp.float32
         ),
         interpret=interpret,
-    )(step_tile, win_in, win_out, tile_info, feat, basis)
+    )(step_tile_packed, tile_info, feat, basis)
 
 
-def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
+def _bwd_kernel(n_sh, chunk_len, x_tiles, n_tiles, n_win, base, tile_ref,
                 info_ref, feat_ref, basis_ref, gi_ref, gout_ref, t_col,
                 pg_col, e_col, sat_ref):
     s = pl.program_id(0)
     _, first, _, new_window, lo, hi, tx, ty = _step_scalars(
-        tile_ref, win_ref, info_ref, s, chunk_len, x_tiles
+        tile_ref, info_ref, s, chunk_len, x_tiles, n_tiles, n_win, base
     )
 
     @pl.when(first)
@@ -290,32 +301,37 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, tile_ref, win_ref, wout_ref,
 )
 def _render_bwd(feat, basis, meta, gi, *, n_sh, n_tiles, x_tiles, chunk,
                 interpret):
-    step_tile, win_in, win_out, tile_info = meta
+    step_tile_packed, tile_info = meta
     n_splats = feat.shape[1]
-    g_steps = step_tile.shape[0]
+    g_steps = 2 * step_tile_packed.shape[0]
+    n_win = n_splats // chunk
+    base = _tile_pack_base(n_tiles)
+    dims = dict(chunk=chunk, n_tiles=n_tiles, n_win=n_win, base=base)
     feat_rows = feat.shape[0]
     basis_rows = basis.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(g_steps,),
         in_specs=[
             pl.BlockSpec(
-                (feat_rows, chunk), lambda s, t, wi, wo, info: (0, wi[s]),
+                (feat_rows, chunk),
+                functools.partial(_im_input_window, **dims),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (basis_rows, cc.PIXELS_PER_TILE),
-                lambda s, t, wi, wo, info: (0, t[s]),
+                functools.partial(_im_tile, base=base),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (cc.OUT_ROWS, cc.PIXELS_PER_TILE),
-                lambda s, t, wi, wo, info: (0, t[s]),
+                functools.partial(_im_tile, base=base),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (feat_rows, chunk), lambda s, t, wi, wo, info: (0, wo[s]),
+            (feat_rows, chunk),
+            functools.partial(_im_output_window, **dims),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -326,13 +342,15 @@ def _render_bwd(feat, basis, meta, gi, *, n_sh, n_tiles, x_tiles, chunk,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_sh, chunk, x_tiles),
+        functools.partial(
+            _bwd_kernel, n_sh, chunk, x_tiles, n_tiles, n_win, base
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (feat_rows, n_splats + chunk), jnp.float32
         ),
         interpret=interpret,
-    )(step_tile, win_in, win_out, tile_info, feat, basis, gi)
+    )(step_tile_packed, tile_info, feat, basis, gi)
     return out[:, :n_splats]
 
 

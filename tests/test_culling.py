@@ -90,7 +90,10 @@ def test_layout_step_metadata_consistency(pipeline_outputs):
     """The window-walk step metadata must tile the splat array exactly:
     each tile's steps cover its [start, end) slot range with disjoint lane
     masks, in order, and every live slot is covered exactly once."""
-    from gaussian_splatting_tpu.ops.render import build_step_meta
+    from gaussian_splatting_tpu.ops.render import (
+        build_step_meta,
+        expand_step_meta,
+    )
 
     uv, conic, xyz_cam, visible, grid = pipeline_outputs
     chunk = 256
@@ -112,10 +115,17 @@ def test_layout_step_metadata_consistency(pipeline_outputs):
     assert np.all(gid[: starts[-1]] < 6)
     assert np.all(gid[starts[-1] :] == 6)
 
-    step_tile, win_in, win_out, tile_info = [
-        np.asarray(x) for x in build_step_meta(layout, n_tiles, chunk)
+    # the kernels read the compact meta (packed step->tile array + the
+    # 3-row per-tile info table); expand_step_meta replays the kernels'
+    # own scalar derivation, so these assertions pin what the kernels see
+    meta = build_step_meta(layout, n_tiles, chunk)
+    tile_info = np.asarray(meta[1])
+    assert tile_info.shape == (3, n_tiles + 1)
+    step_tile, win_in, win_out = [
+        np.asarray(x) for x in expand_step_meta(meta, n_tiles, chunk, s_out)
     ]
-    assert step_tile.shape == (s_out // chunk + n_tiles,)
+    g_expect = s_out // chunk + n_tiles
+    assert step_tile.shape == (g_expect + g_expect % 2,)
     n_win = s_out // chunk
     cover = -(-int(starts[-1]) // chunk)  # windows the live prefix touches
     covered = np.zeros(s_out, bool)
