@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 # per-leaf LR multipliers over base_lr (reference: splat_py/config.py:80-92,
@@ -84,8 +85,12 @@ def mask_moments(opt_state, slot_mask: jax.Array, leaves=None):
         for k, v in leaf_dict.items():
             if leaves is not None and k not in leaves:
                 continue
-            mask = slot_mask.reshape((-1,) + (1,) * (v.ndim - 1))
-            out[k] = jnp.where(mask, 0.0, v)
+            # select in a FLAT 1-D view: a (C, 3, 15) select fusion pads
+            # its minor dims to the (8, 128) tile — 11.4x HBM expansion at
+            # reference scale (the round-4 refscale OOM); 1-D is compact
+            w = int(np.prod(v.shape[1:])) if v.ndim > 1 else 1
+            mask = jnp.repeat(slot_mask, w, total_repeat_length=v.size)
+            out[k] = jnp.where(mask, 0.0, v.reshape(-1)).reshape(v.shape)
         return out
 
     return replace_adam_moments(

@@ -135,6 +135,7 @@ class TrainingRunner:
         self._tier_watermark: list = []
         self._overflowed = False
         self._truncated_seen = False
+        self._eval_caps = None  # sticky grow-only eval capacity buckets
         # de-synced metrics: per-step info dicts stay on device and are
         # fetched with a lag so the host never blocks the step pipeline
         # (the reference syncs 3x per iteration; see VERDICT round 1 item 8)
@@ -579,41 +580,86 @@ class TrainingRunner:
             self.state = shard_state(self.state, self.dpmp_mesh)
 
     def _eval_config(self) -> SplatConfig:
-        """Evals render with the un-bucketed default capacities: the train
-        buckets track TRAIN-view watermarks and can lag the scene during
-        ADC growth, and a tier overflowing in an eval view silently drops
-        its largest gaussians from the RENDER (train steps only skip their
-        update).  Defaults are generous, and eval is rare — one compile
-        per SH band, amortised by the persistent cache."""
+        """Eval FALLBACK config: the un-bucketed default capacities.  The
+        train buckets track TRAIN-view watermarks and can lag the scene
+        during ADC growth, and a tier overflowing in an eval view silently
+        drops its largest gaussians from the RENDER (train steps only skip
+        their update).  Defaults are generous, so this render is exact —
+        but its layout is several times the train step's width, and at
+        reference scale each (capacity, SH band) combination costs a
+        multi-minute compile, so evals try _eval_fast_config first and
+        only fall back here on overflow."""
         return self.config.replace(tier_capacities=None, visible_capacity=0)
 
-    def _eval_one(self, idx, cam, im, cfg, band):
-        """One test view through the mode-appropriate eval step."""
+    def _eval_fast_config(self) -> Optional[SplatConfig]:
+        """Bucketed eval capacities: the current train buckets with 2x
+        headroom (quarter-step bucketed, GROW-ONLY across the run so the
+        eval executable survives train-side rebucketing), absorbing the
+        eval views' variance over the train watermarks at ~2x the train
+        layout width instead of the default layout's ~8x.  Any overflow
+        anyway falls back to the exact default-capacity render
+        (_eval_one), so this is purely a compile/runtime optimisation.
+        None until the runner has rebucketed once (tiny scenes just use
+        the defaults)."""
+        from gaussian_splatting_tpu.culling import (
+            TIER_FLOORS,
+            capacity_bucket,
+        )
+
+        cfg = self.config
+        if cfg.tier_capacities is None:
+            return None
+        caps = tuple(
+            capacity_bucket(2 * c, f)
+            for c, f in zip(cfg.tier_capacities, TIER_FLOORS)
+        )
+        gauss_cap = int(self.state.alive.shape[0])
+        vcap = cfg.visible_capacity
+        if vcap:
+            vcap = capacity_bucket(2 * vcap, 1)
+            vcap = 0 if vcap >= gauss_cap else vcap
+        if self._eval_caps is not None:
+            prev_caps, prev_vcap = self._eval_caps
+            caps = tuple(max(a, b) for a, b in zip(caps, prev_caps))
+            vcap = 0 if (vcap == 0 or prev_vcap == 0) else max(
+                vcap, prev_vcap
+            )
+        self._eval_caps = (caps, vcap)
+        return cfg.replace(tier_capacities=caps, visible_capacity=vcap)
+
+    def _eval_one(self, idx, cam, im, cfg, band, fast_cfg=None):
+        """One test view through the mode-appropriate eval step.  With a
+        fast (bucketed) config, render that first and redo the view with
+        the exact default capacities only if it overflowed."""
         if self.mp_mesh is not None or self.dpmp_mesh is not None:
             from gaussian_splatting_tpu.parallel import mp_eval_step
 
-            return mp_eval_step(
-                self.state, self.gt_image_dev(idx),
-                jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
-                config=cfg, camera_hw=(cam.height, cam.width),
-                n_sh_band=band, mesh=self.mp_mesh or self.dpmp_mesh,
+            step = functools.partial(
+                mp_eval_step, mesh=self.mp_mesh or self.dpmp_mesh
             )
-        return T.eval_step(
+        else:
+            step = T.eval_step
+        args = (
             self.state, self.gt_image_dev(idx),
             jnp.asarray(cam.K), jnp.asarray(im.camera_T_world),
-            config=cfg, camera_hw=(cam.height, cam.width),
-            n_sh_band=band,
         )
+        kw = dict(camera_hw=(cam.height, cam.width), n_sh_band=band)
+        if fast_cfg is not None:
+            out = step(*args, config=fast_cfg, **kw)
+            if not bool(out[3]):
+                return out
+        return step(*args, config=cfg, **kw)
 
     def evaluate(self, save_images=False, iteration=0):
         cfg = self._eval_config()
+        fast_cfg = self._eval_fast_config()
         psnrs, ssims = [], []
         band = T.sh_band_for_iteration(cfg, iteration)
         for idx in self.test_split:
             im = self.data.images[idx]
             cam = self.data.cameras[im.camera_id]
             img, psnr, ssim, eoverflow = self._eval_one(
-                idx, cam, im, cfg, band
+                idx, cam, im, cfg, band, fast_cfg=fast_cfg
             )
             if bool(eoverflow):
                 print(
@@ -645,6 +691,7 @@ class TrainingRunner:
         img, _, _, _ = self._eval_one(
             idx, cam, im, self._eval_config(),
             T.sh_band_for_iteration(self.config, i),
+            fast_cfg=self._eval_fast_config(),
         )
         self._save_image(np.asarray(img), f"debug_iter{i}.png")
 
@@ -775,8 +822,14 @@ class TrainingRunner:
                 and i < cfg.adaptive_control_end
             ):
                 self.key, sub = jax.random.split(self.key)
+                # ADC/reset never read the capacity knobs — normalise them
+                # out of the (static) config so rebucketing doesn't force a
+                # pointless recompile of these executables
                 self.state, stats = T.adaptive_density_control(
-                    self.state, sub, jnp.float32(i), config=cfg
+                    self.state, sub, jnp.float32(i),
+                    config=cfg.replace(
+                        tier_capacities=None, visible_capacity=0
+                    ),
                 )
                 self._rereplicate()
                 print(
@@ -806,7 +859,12 @@ class TrainingRunner:
                 and i % cfg.reset_opacity_interval == 0
             ):
                 print("\t\tResetting opacity")
-                self.state = T.reset_opacity(self.state, config=cfg)
+                self.state = T.reset_opacity(
+                    self.state,
+                    config=cfg.replace(
+                        tier_capacities=None, visible_capacity=0
+                    ),
+                )
                 self._rereplicate()
 
             if (

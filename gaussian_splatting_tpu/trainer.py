@@ -324,23 +324,50 @@ def reset_opacity(state: TrainState, *, config: SplatConfig) -> TrainState:
     )
 
 
-def _write_slots(params, alive, opt_state, src_idx, dst_idx, write_ok,
-                 overrides=None):
+def _row_gather(vf: jax.Array, w: int, idx: jax.Array) -> jax.Array:
+    """Gather rows idx from a FLAT leaf (C*w,) -> flat (n*w,)."""
+    flat_idx = (idx[:, None] * w + jnp.arange(w)).reshape(-1)
+    return vf[flat_idx]
+
+
+def _zero_rows_flat(leaves_f: dict, widths: dict, slot_mask: jax.Array):
+    """Zero flat leaves at masked slots (Adam-moment surgery, flat form)."""
+    out = {}
+    for k, vf in leaves_f.items():
+        m = jnp.repeat(slot_mask, widths[k], total_repeat_length=vf.size)
+        out[k] = jnp.where(m, 0.0, vf)
+    return out
+
+
+def _write_slots(params_f, widths, alive, mu_f, nu_f, src_idx, dst_idx,
+                 write_ok, overrides=None):
     """Copy gaussians src_idx -> dst_idx (masked), zero moments at dst.
 
-    overrides: dict leaf -> (n_write, ...) values replacing the copied ones.
-    Out-of-range dst (sentinel) writes are dropped.
+    All per-gaussian leaves are FLAT 1-D ``(C*w,)`` views: multi-dim
+    ``(C, small...)`` gathers/scatters/selects pad their minor dims to the
+    TPU (8, 128) tile inside this executable (11.4x on the (C, 3, 15) SH
+    leaf — the round-4 refscale HBM OOM), while 1-D ops stay compact.
+
+    overrides: dict leaf -> flat (n*w,) values replacing the copied ones.
+    Out-of-range dst (sentinel = cap) writes are dropped (flat sentinel
+    indices land at >= cap*w, out of range for mode="drop").
     """
     cap = alive.shape[0]
     dst = jnp.where(write_ok, dst_idx, cap)  # cap = dropped by mode="drop"
     new_params = {}
-    for k, v in params.items():
-        val = v[src_idx] if overrides is None or k not in overrides else overrides[k]
-        new_params[k] = v.at[dst].set(val, mode="drop")
+    for k, vf in params_f.items():
+        w = widths[k]
+        if overrides is not None and k in overrides:
+            val = overrides[k]
+        else:
+            val = _row_gather(vf, w, src_idx)
+        dst_flat = (dst[:, None] * w + jnp.arange(w)).reshape(-1)
+        new_params[k] = vf.at[dst_flat].set(val, mode="drop")
     alive = alive.at[dst].set(True, mode="drop")
     slot_mask = jnp.zeros((cap,), bool).at[dst].set(True, mode="drop")
-    opt_state = optim.mask_moments(opt_state, slot_mask)
-    return new_params, alive, opt_state
+    mu_f = _zero_rows_flat(mu_f, widths, slot_mask)
+    nu_f = _zero_rows_flat(nu_f, widths, slot_mask)
+    return new_params, alive, mu_f, nu_f
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -367,9 +394,24 @@ def adaptive_density_control(
     left: candidates remained when the free slots ran out.
     """
     cap = state.alive.shape[0]
-    max_new = cap // 4  # static batch width of one clone/split pass
+    # static batch width of one clone/split pass; bounded so the per-batch
+    # row gathers/scatters stay small — the drain loops below make any
+    # batch size exhaustive, so this is purely a memory/time knob
+    max_new = min(cap // 4, 1 << 16)
     params, alive, opt_state = state.params, state.alive, state.opt_state
-    f32max = jnp.float32(jnp.inf)
+
+    # flat 1-D views of every per-gaussian leaf (see _write_slots: multi-dim
+    # (C, small...) ops pad minor dims to the TPU tile inside this
+    # executable; flat ops are compact)
+    widths = {
+        k: int(np.prod(v.shape[1:])) if v.ndim > 1 else 1
+        for k, v in params.items()
+    }
+    shapes = {k: v.shape for k, v in params.items()}
+    params_f = {k: v.reshape(-1) for k, v in params.items()}
+    adam = optim.adam_moments(opt_state)
+    mu_f = {k: v.reshape(-1) for k, v in adam.mu.items()}
+    nu_f = {k: v.reshape(-1) for k, v in adam.nu.items()}
 
     uv_norm_accum = jnp.linalg.norm(state.uv_grad_accum, axis=1)
     count = state.grad_accum_count
@@ -384,7 +426,8 @@ def adaptive_density_control(
     if config.use_delete:
         freed = alive & ~keep
         alive = alive & keep
-        opt_state = optim.mask_moments(opt_state, freed)
+        mu_f = _zero_rows_flat(mu_f, widths, freed)
+        nu_f = _zero_rows_flat(nu_f, widths, freed)
 
     n_alive = jnp.sum(alive.astype(jnp.int32))
     skip_densify = n_alive > config.max_gaussians
@@ -416,25 +459,27 @@ def adaptive_density_control(
     n_clone = jnp.sum(clone_mask.astype(jnp.int32))
 
     # ---- step 2.1: clone (trainer.py:123-161), batch-drained
+    xyz_grad_avg_f = xyz_grad_avg.reshape(-1)
     clone_deferred = jnp.int32(0)
     if config.use_clone:
 
         def clone_cond(c):
-            params, alive, opt_state, remaining, densify, scale_max = c
+            params_f, alive, mu_f, nu_f, remaining, densify, scale_max = c
             return jnp.any(remaining) & jnp.any(~alive)
 
         def clone_body(c):
-            params, alive, opt_state, remaining, densify, scale_max = c
+            params_f, alive, mu_f, nu_f, remaining, densify, scale_max = c
             src = jnp.nonzero(remaining, size=max_new, fill_value=cap)[0]
             free_idx = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
             src_safe = jnp.minimum(src, cap - 1)
             ok = (src < cap) & (free_idx < cap)
             overrides = dict(
-                xyz=params["xyz"][src_safe]
-                - xyz_grad_avg[src_safe] * 0.01
+                xyz=_row_gather(params_f["xyz"], 3, src_safe)
+                - _row_gather(xyz_grad_avg_f, 3, src_safe) * 0.01
             )
-            params, alive, opt_state = _write_slots(
-                params, alive, opt_state, src_safe, free_idx, ok, overrides
+            params_f, alive, mu_f, nu_f = _write_slots(
+                params_f, widths, alive, mu_f, nu_f, src_safe, free_idx,
+                ok, overrides
             )
             # clones inherit the densify flag and scale (trainer.py:268-271)
             densify = densify.at[jnp.where(ok, free_idx, cap)].set(
@@ -446,12 +491,14 @@ def adaptive_density_control(
             remaining = remaining & ~jnp.zeros((cap,), bool).at[
                 jnp.where(ok, src_safe, cap)
             ].set(True, mode="drop")
-            return (params, alive, opt_state, remaining, densify, scale_max)
+            return (params_f, alive, mu_f, nu_f, remaining, densify,
+                    scale_max)
 
-        params, alive, opt_state, rem_clone, densify, scale_max = (
+        params_f, alive, mu_f, nu_f, rem_clone, densify, scale_max = (
             jax.lax.while_loop(
                 clone_cond, clone_body,
-                (params, alive, opt_state, clone_mask, densify, scale_max),
+                (params_f, alive, mu_f, nu_f, clone_mask, densify,
+                 scale_max),
             )
         )
         clone_deferred = jnp.sum(
@@ -482,45 +529,51 @@ def adaptive_density_control(
         )
 
         def split_cond(c):
-            params, alive, opt_state, remaining, lost, it = c
+            params_f, alive, mu_f, nu_f, remaining, lost, it = c
             # sample 1 splits IN PLACE, so the loop must run even with no
             # free slots; remaining drains every iteration -> terminates
             return jnp.any(remaining)
 
         def split_body(c):
-            params, alive, opt_state, remaining, lost, it = c
+            params_f, alive, mu_f, nu_f, remaining, lost, it = c
             src = jnp.nonzero(remaining, size=max_new, fill_value=cap)[0]
             src_safe = jnp.minimum(src, cap - 1)
             free_idx2 = jnp.nonzero(~alive, size=max_new, fill_value=cap)[0]
             ok = (src < cap) & (free_idx2 < cap)
 
+            scale_src = _row_gather(params_f["scale"], 3, src_safe)
+            scales = jnp.exp(scale_src).reshape(max_new, 3)
+            xyz_src = _row_gather(params_f["xyz"], 3, src_safe).reshape(
+                max_new, 3
+            )
+            quat = _row_gather(
+                params_f["quaternion"], 4, src_safe
+            ).reshape(max_new, 4)
+            quat = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
+            rot = quaternion_to_rotation(quat)
+
             def sample(k):
                 r = jax.random.uniform(k, (max_new, 3), jnp.float32)
-                scales = jnp.exp(params["scale"][src_safe])
-                quat = params["quaternion"][src_safe]
-                quat = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
-                rot = quaternion_to_rotation(quat)
-                return params["xyz"][src_safe] + jnp.einsum(
-                    "nij,nj->ni", rot, r * scales
-                )
+                return (
+                    xyz_src + jnp.einsum("nij,nj->ni", rot, r * scales)
+                ).reshape(-1)
 
             k1, k2 = jax.random.split(jax.random.fold_in(key, it))
             new_scale = jnp.log(
-                jnp.exp(params["scale"][src_safe])
-                / config.split_scale_factor
+                jnp.exp(scale_src) / config.split_scale_factor
             )
             # BOTH samples are drawn inside the ORIGINAL ellipsoid
             # (trainer.py:177-187) before any write lands — sample 1 then
             # overwrites the original slot, sample 2 goes to a free slot.
             xyz1, xyz2 = sample(k1), sample(k2)
             ok1 = src < cap
-            params, alive, opt_state = _write_slots(
-                params, alive, opt_state, src_safe, src_safe, ok1,
-                overrides=dict(xyz=xyz1, scale=new_scale),
+            params_f, alive, mu_f, nu_f = _write_slots(
+                params_f, widths, alive, mu_f, nu_f, src_safe, src_safe,
+                ok1, overrides=dict(xyz=xyz1, scale=new_scale),
             )
-            params, alive, opt_state = _write_slots(
-                params, alive, opt_state, src_safe, free_idx2, ok,
-                overrides=dict(xyz=xyz2, scale=new_scale),
+            params_f, alive, mu_f, nu_f = _write_slots(
+                params_f, widths, alive, mu_f, nu_f, src_safe, free_idx2,
+                ok, overrides=dict(xyz=xyz2, scale=new_scale),
             )
             # a source whose sample 2 found no free slot was still split
             # in place (sample 1): processed, but its second sample is lost
@@ -530,18 +583,26 @@ def adaptive_density_control(
             remaining = remaining & ~jnp.zeros((cap,), bool).at[
                 jnp.where(ok1, src_safe, cap)
             ].set(True, mode="drop")
-            return (params, alive, opt_state, remaining, lost, it + 1)
+            return (params_f, alive, mu_f, nu_f, remaining, lost, it + 1)
 
-        params, alive, opt_state, _, split_deferred, _ = jax.lax.while_loop(
-            split_cond, split_body,
-            (params, alive, opt_state, split_mask, jnp.int32(0),
-             jnp.int32(0)),
+        params_f, alive, mu_f, nu_f, _, split_deferred, _ = (
+            jax.lax.while_loop(
+                split_cond, split_body,
+                (params_f, alive, mu_f, nu_f, split_mask, jnp.int32(0),
+                 jnp.int32(0)),
+            )
         )
 
     # with exhaustive batch draining, the only work ever dropped is a
     # candidate that found no free slot (clone) or a split's second
     # sample (lost) — surfaced per event so the runner can report it
     cap_hit = (clone_deferred > 0) | (split_deferred > 0)
+    params = {k: vf.reshape(shapes[k]) for k, vf in params_f.items()}
+    opt_state = optim.replace_adam_moments(
+        opt_state,
+        mu={k: vf.reshape(shapes[k]) for k, vf in mu_f.items()},
+        nu={k: vf.reshape(shapes[k]) for k, vf in nu_f.items()},
+    )
     state = state._replace(
         params=params,
         alive=alive,
