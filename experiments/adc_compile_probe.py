@@ -17,6 +17,11 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+# persistent cache: the probe's (long) ADC compile is the SAME HLO the
+# refscale run will request, so this warms it
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 from gaussian_splatting_tpu import trainer as T
 from gaussian_splatting_tpu.config import SplatConfig
 
@@ -77,6 +82,27 @@ def main():
                 int(stats["n_split"]), int(stats["n_alive"]),
             )
         )
+
+    # reset_opacity at the same capacity (the other schedule-boundary
+    # executable the refscale run compiles; VERDICT r4 item 4)
+    t0 = time.time()
+    lowered = T.reset_opacity.lower(new_state, config=cfg)
+    compiled_r = lowered.compile()
+    t1 = time.time()
+    mem = compiled_r.memory_analysis()
+    print(f"reset_opacity capacity {cap}: compiled in {t1 - t0:.1f}s")
+    if mem is not None:
+        print(
+            "  temp {:.2f} GB  args {:.2f} GB  out {:.2f} GB".format(
+                mem.temp_size_in_bytes / 2**30,
+                mem.argument_size_in_bytes / 2**30,
+                mem.output_size_in_bytes / 2**30,
+            )
+        )
+    t0 = time.time()
+    rstate = compiled_r(new_state)
+    jax.device_get(rstate.params["opacity"][0])
+    print(f"  ran in {time.time() - t0:.2f}s OK")
 
 
 if __name__ == "__main__":
