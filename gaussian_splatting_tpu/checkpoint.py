@@ -20,7 +20,12 @@ from gaussian_splatting_tpu import optim
 from gaussian_splatting_tpu.trainer import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState, iteration: int, key) -> None:
+def save_checkpoint(
+    path: str, state: TrainState, iteration: int, key, extra: dict = None
+) -> None:
+    """``extra``: optional flat dict of small numpy arrays saved under
+    ``extra.*`` keys — runner-owned sticky state (the learned capacity
+    buckets) that makes resume skip the recompile ladder."""
     adam = optim.adam_moments(state.opt_state)
     flat = dict(
         iteration=np.asarray(iteration),
@@ -35,10 +40,20 @@ def save_checkpoint(path: str, state: TrainState, iteration: int, key) -> None:
         flat[f"param.{k}"] = np.asarray(v)
         flat[f"mu.{k}"] = np.asarray(adam.mu[k])
         flat[f"nu.{k}"] = np.asarray(adam.nu[k])
+    for k, v in (extra or {}).items():
+        flat[f"extra.{k}"] = np.asarray(v)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
     os.replace(tmp, path)
+
+
+def load_checkpoint_extra(path: str) -> dict:
+    """The ``extra.*`` entries of a checkpoint (empty for older files)."""
+    z = np.load(path)
+    return {
+        k[len("extra."):]: z[k] for k in z.files if k.startswith("extra.")
+    }
 
 
 def load_checkpoint(path: str, config) -> tuple:

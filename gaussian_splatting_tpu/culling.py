@@ -89,10 +89,12 @@ class SplatLayout(NamedTuple):
     overflow     : () bool  true if work was dropped because a *capacity*
                    limit was hit (visible compaction or a tier capacity) —
                    growing the capacities fixes these
-    truncated    : () bool  true if a gaussian's clipped window exceeded
-                   TIER_CELLS[-1] cells, so only its leading window cells
-                   rendered — no capacity growth can fix this (the runner
-                   must not grow the bucket for it)
+    truncated    : () i32   number of candidate tile cells DROPPED because
+                   a gaussian's clipped window exceeded TIER_CELLS[-1]
+                   cells (only the leading window cells rendered) — no
+                   capacity growth can fix this (the runner must not grow
+                   the bucket for it); nonzero means truncation happened,
+                   and the count bounds the lost work per frame
     """
 
     gaussian_idx: jax.Array
@@ -641,8 +643,12 @@ def _layout_impl(
         )
     # gaussians too big for the last tier render only their first
     # TIER_CELLS[-1] window cells (tail cells truncated) — reported
-    # separately from `dropped` because no capacity growth can fix it
-    truncated = jnp.any(area_c > TIER_CELLS[-1])
+    # separately from `dropped` because no capacity growth can fix it.
+    # The COUNT of dropped cells (not just a flag) bounds the lost work:
+    # the runner accumulates it so a long run can quantify the quality
+    # cost of the reference-analogous cap (splat_py/tile_culling.py:20
+    # max_tiles_per_gaussian=1024 drops the same tail silently).
+    truncated = jnp.sum(jnp.maximum(area_c - TIER_CELLS[-1], 0))
 
     # ---- THE sort, over all padded candidates: one packed (tile, z) i32
     # key, values (gid, cell position, feature rows).  gid / features are

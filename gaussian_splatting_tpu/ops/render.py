@@ -402,6 +402,22 @@ def _mm(a, b, contract):
     )
 
 
+def _mm_acc(a, b, contract, bf16):
+    """Accumulation matmuls (colour/gradient reductions over the chunk or
+    pixel axis).  bf16 production mode keeps the default single-pass
+    (noise class it already accepts everywhere); f32 accuracy mode forces
+    the exact multi-pass product — the TPU default would round these f32
+    inputs to one bf16 pass and put ~1e-3 relative error straight on the
+    image/gradients (measured on-chip, round 5)."""
+    if bf16:
+        return _mm(a, b, contract)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _mmp(a, b, contract, bf16):
     """dot_general with optionally bf16-cast inputs (single-pass MXU) and
     f32 accumulation.  NOT used by production paths even under
@@ -418,29 +434,75 @@ def _mmp(a, b, contract, bf16):
 
 def _mm_scan(x, u01, contract, bf16):
     """x @ u01 where u01 is a 0/1 (triangular) matrix — the kernels'
-    prefix-sum-as-matmul.  These (C, C)-contraction matmuls are ~98% of the
-    kernels' MXU work, so under kernel_precision="bf16" x rides as a
-    hi/lo bf16 SPLIT (x = hi + lo + eps, |eps| <= 2^-16 |x|): two
-    single-pass bf16 matmuls with f32 accumulation cost ~half an f32
-    multi-pass matmul and keep ~16 mantissa bits of the operand — each
-    hi/lo product against a 0/1 matrix is EXACT, so the only loss is the
-    split residual (~100x tighter than single-pass bf16 inputs).  f32 mode
-    is untouched (golden-pixel parity tests pin it)."""
+    prefix-sum-as-matmul.  These matmuls are ~98% of the kernels' MXU
+    work, so under kernel_precision="bf16" x rides as a hi/lo bf16 SPLIT
+    (x = hi + lo + eps, |eps| <= 2^-16 |x|): two single-pass bf16 matmuls
+    with f32 accumulation cost ~half an f32 multi-pass matmul and keep
+    ~16 mantissa bits of the operand — each hi/lo product against a 0/1
+    matrix is EXACT, so the only loss is the split residual (~100x
+    tighter than single-pass bf16 inputs).  f32 mode is untouched
+    (golden-pixel parity tests pin it)."""
     if not bf16:
-        return _mm(x, u01, contract)
+        # f32 mode is the accuracy/golden mode: the TPU's DEFAULT matmul
+        # precision runs f32 inputs as one bf16 pass (~1e-3 relative error
+        # measured on-chip, round 5), which would silently degrade the
+        # mode's whole point — force the exact multi-pass product here
+        return jax.lax.dot_general(
+            x, u01, dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     ub = u01.astype(jnp.bfloat16)
     return _mm(hi, ub, contract) + _mm(lo, ub, contract)
 
 
+# sub-block width of the hierarchical prefix scan: the MXU's native 128
+# contraction (a narrower block underfills the systolic array)
+_SCAN_BLK = 128
+
+
+def _prefix_scan_strict(x, bf16):
+    """STRICT prefix sum of (P, C) ``x`` along the lane (chunk) axis.
+
+    A flat triangular matmul costs P*C^2 MACs; splitting the chunk into
+    128-lane sub-blocks costs P*C*128 plus one (P, 1) carry per block —
+    4x less MXU work at the production chunk=256 (measured round 5: bwd
+    kernel 30.5 -> see PERF.md).  Sub-block results are exact partial
+    sums; the carry is an f32 row reduction, so the error structure
+    matches the flat matmul's (hi/lo split exact against 0/1, f32
+    accumulation).  Lane slices/concats at 128 alignment are whole
+    lane-tiles (no relayout)."""
+    c = x.shape[1]
+    if c <= _SCAN_BLK or c % _SCAN_BLK:
+        u_strict, _ = _tri_matrices(c, x.dtype)
+        return _mm_scan(x, u_strict, (((1,), (0,))), bf16)
+    u_strict, _ = _tri_matrices(_SCAN_BLK, x.dtype)
+    blocks = []
+    carry = None
+    for k in range(c // _SCAN_BLK):
+        xb = jax.lax.slice_in_dim(
+            x, k * _SCAN_BLK, (k + 1) * _SCAN_BLK, axis=1
+        )
+        pb = _mm_scan(xb, u_strict, (((1,), (0,))), bf16)
+        if carry is not None:
+            pb = pb + carry
+        bsum = jnp.sum(xb, axis=1, keepdims=True)
+        carry = bsum if carry is None else carry + bsum
+        blocks.append(pb)
+    return jnp.concatenate(blocks, axis=1)
+
+
 def _col_to_row(col):
-    """(P, 1) -> (1, P) via an MXU identity contraction (cheap, once/tile)."""
+    """(P, 1) -> (1, P) via an MXU identity contraction (cheap, once/tile).
+    HIGHEST precision: the default would round the value operand to bf16
+    even though the other operand is an exact 0/1 identity."""
     p = col.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
     eye = (row == coli).astype(col.dtype)
-    return _mm(col, eye, (((0,), (0,))))  # (1, P)
+    return _mm_acc(col, eye, (((0,), (0,))), False)  # (1, P)
 
 
 def _row_to_col(rowv):
@@ -448,7 +510,7 @@ def _row_to_col(rowv):
     row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
     eye = (row == coli).astype(rowv.dtype)
-    return _mm(eye, rowv, (((1,), (1,))))  # (P, 1)
+    return _mm_acc(eye, rowv, (((1,), (1,))), False)  # (P, 1)
 
 
 def _log_one_minus(at):
@@ -486,15 +548,12 @@ def _fwd_kernel(chunk, x_tiles, n_tiles, n_win, base, bf16, tile_ref,
         t = _alpha_terms(f, tx, ty, lo, hi, mx=False)
         at = t["at"]
         loma = _log_one_minus(at)
-        u_strict, _ = _tri_matrices(chunk, f.dtype)
         # exclusive prefix transmittance within the chunk, times the carry
-        tpref = t_col[:] * jnp.exp(
-            _mm_scan(loma, u_strict, (((1,), (0,))), bf16)
-        )
+        tpref = t_col[:] * jnp.exp(_prefix_scan_strict(loma, bf16))
         active = tpref >= cc.T_EPS
         wgt = jnp.where(active, at * tpref, 0.0)  # (256, CHUNK)
         rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
-        acc[0:3, :] += _mm(rgb, wgt, (((1,), (1,))))  # (3, 256), f32
+        acc[0:3, :] += _mm_acc(rgb, wgt, (((1,), (1,))), bf16)  # (3, 256)
         t_col[:] *= jnp.exp(jnp.sum(loma, axis=1, keepdims=True))
         sat_ref[0] = (jnp.max(t_col[:]) < cc.T_EPS).astype(jnp.int32)
 
@@ -608,10 +667,7 @@ def _bwd_kernel(chunk_len, x_tiles, n_tiles, n_win, base, bf16, packed,
         # at <= ALPHA_CLAMP < 0.999999, so _log_one_minus's guard min is
         # redundant here
         loma = jnp.log1p(-at)
-        u_strict, _ = _tri_matrices(chunk, f.dtype)
-        tpref = t_col[:] * jnp.exp(
-            _mm_scan(loma, u_strict, (((1,), (0,))), bf16)
-        )
+        tpref = t_col[:] * jnp.exp(_prefix_scan_strict(loma, bf16))
         active = tpref >= cc.T_EPS
         # at is pre-clamped (clamp=True) and pre-masked, so this weight
         # already IS the reference backward's clamped weight
@@ -621,12 +677,10 @@ def _bwd_kernel(chunk_len, x_tiles, n_tiles, n_win, base, bf16, packed,
         g = gi_ref[0:3, :]  # (3, 256) upstream image gradient, tile layout
         rgb = f[cc.FEAT_R : cc.FEAT_B_COL + 1, :]  # (3, CHUNK)
         # A[p, s] = sum_ch g[ch, p] * rgb[ch, s]
-        A = _mm(g, rgb, (((0,), (0,))))  # (256, CHUNK), f32
+        A = _mm_acc(g, rgb, (((0,), (0,))), bf16)  # (256, CHUNK), f32
         cw = A * wgt
-        # inclusive prefix = strict prefix + cw (one matmul serves both)
-        pg_incl = (
-            pg_col[:] + _mm_scan(cw, u_strict, (((1,), (0,))), bf16) + cw
-        )
+        # inclusive prefix = strict prefix + cw (one scan serves both)
+        pg_incl = pg_col[:] + _prefix_scan_strict(cw, bf16) + cw
         # D = sum_ch color_accum * g  (colour behind this splat + background)
         D = e_col[:] - pg_incl
 
@@ -649,7 +703,7 @@ def _bwd_kernel(chunk_len, x_tiles, n_tiles, n_win, base, bf16, packed,
         basis = _pixel_basis(f.dtype)  # (256, 6)
         # raw moments of dL/dmh = -q/2 (the deferred -1/2 lands here, on
         # (6, CHUNK) rows instead of a full (256, CHUNK) field)
-        T6 = -0.5 * _mm(basis, q, (((0,), (0,))))  # (6, CHUNK), f32
+        T6 = -0.5 * _mm_acc(basis, q, (((0,), (0,))), bf16)  # (6, CHUNK)
         m1, su, sv = T6[0:1, :], T6[1:2, :], T6[2:3, :]
         suu, svv, suv = T6[3:4, :], T6[4:5, :], T6[5:6, :]
         # central moments about the splat centre (tile-local, so the
@@ -669,7 +723,7 @@ def _bwd_kernel(chunk_len, x_tiles, n_tiles, n_win, base, bf16, packed,
 
         # grad rgb: the reference uses the clamped alpha here
         # (render_backward.cu:193-196)
-        grgb = _mm(g, wgt, (((1,), (0,))))  # (3, CHUNK)
+        grgb = _mm_acc(g, wgt, (((1,), (0,))), bf16)  # (3, CHUNK)
         if packed:
             # emit the rows already as the inversion sort's bf16-pair i32
             # operands: half the output DMA, and no XLA-side sanitise/pack

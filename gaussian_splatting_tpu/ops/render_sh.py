@@ -44,7 +44,7 @@ from gaussian_splatting_tpu.ops.render import (
     _row_to_col,
     _step_scalars,
     _tile_pack_base,
-    _tri_matrices,
+    _prefix_scan_strict,
     default_interpret,
 )
 
@@ -112,8 +112,7 @@ def _fwd_kernel(n_sh, chunk, x_tiles, n_tiles, n_win, base, tile_ref,
         t = _alpha_terms(f, tx, ty, lo, hi)
         at = t["at"]
         loma = _log_one_minus(at)
-        u_strict, _ = _tri_matrices(chunk_len, f.dtype)
-        tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+        tpref = t_col[:] * jnp.exp(_prefix_scan_strict(loma, False))
         active = tpref >= cc.T_EPS
         wgt = jnp.where(active, at * tpref, 0.0)  # (256, CHUNK)
         clo_, chi_ = _sh_color_rows(n_sh)
@@ -217,8 +216,7 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, n_tiles, n_win, base, tile_ref,
 
         # at <= ALPHA_CLAMP < 0.999999: _log_one_minus's guard is redundant
         loma = jnp.log1p(-at)
-        u_strict, _ = _tri_matrices(chunk, f.dtype)
-        tpref = t_col[:] * jnp.exp(_mm(loma, u_strict, (((1,), (0,)))))
+        tpref = t_col[:] * jnp.exp(_prefix_scan_strict(loma, False))
         active = tpref >= cc.T_EPS
         # at is pre-clamped and pre-masked, so this IS the reference
         # backward's clamped weight (render_backward.cu:193-196)
@@ -234,7 +232,7 @@ def _bwd_kernel(n_sh, chunk_len, x_tiles, n_tiles, n_win, base, tile_ref,
         # A[p, s] = sum_ck gb[ck, p] * coeff[ck, s]
         A = _mm(gb, coeff, (((0,), (0,))))  # (256, CHUNK)
         cw = A * wgt
-        pg_incl = pg_col[:] + _mm(cw, u_strict, (((1,), (0,)))) + cw
+        pg_incl = pg_col[:] + _prefix_scan_strict(cw, False) + cw
         D = e_col[:] - pg_incl
 
         roma = 1.0 / (1.0 - at)  # at <= ALPHA_CLAMP, 0 on masked lanes

@@ -285,7 +285,7 @@ def mp_render(
         num_visible=jnp.max(per_band["num_visible"]),
         tier_members=jnp.max(per_band["tier_members"], axis=0),
         overflow=jnp.any(per_band["overflow"] > 0),
-        truncated=jnp.any(per_band["truncated"] > 0),
+        truncated=jnp.sum(per_band["truncated"]),
     )
     return image, visible, info
 
@@ -395,9 +395,10 @@ def dp_mp_train_step(
         oflow = jax.lax.pmax(
             jax.lax.pmax(info["overflow"][0], MODEL_AXIS), "data"
         ) > 0
-        trunc = jax.lax.pmax(
-            jax.lax.pmax(info["truncated"][0], MODEL_AXIS), "data"
-        ) > 0
+        # truncated is a dropped-cell COUNT: sum over bands and cameras
+        trunc = jax.lax.psum(
+            jax.lax.psum(info["truncated"][0], MODEL_AXIS), "data"
+        )
 
         opt = optim.make_optimizer(config)
         updates, opt_state = opt.update(

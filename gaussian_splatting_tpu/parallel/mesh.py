@@ -125,7 +125,8 @@ def dp_train_step(
         num_visible = jax.lax.pmax(num_visible, "data")
         tier_members = jax.lax.pmax(tier_members, "data")
         overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data") > 0
-        truncated = jax.lax.pmax(truncated.astype(jnp.int32), "data") > 0
+        # truncated is a dropped-cell COUNT; total it over the camera batch
+        truncated = jax.lax.psum(truncated, "data")
 
         opt = optim.make_optimizer(config)
         updates, opt_state = opt.update(

@@ -50,7 +50,7 @@ class RenderResult(NamedTuple):
     num_visible: jax.Array  # () i32 contributing gaussians this frame
     tier_members: jax.Array  # (n_tiers,) i32 per-tier member counts
     overflow: jax.Array  # () bool — capacity-fixable work drop (grow bucket)
-    truncated: jax.Array  # () bool — oversized-window tail cells cut
+    truncated: jax.Array  # () i32 — oversized-window tail cells dropped
 
 
 def _active_sh_coeffs(n_sh_band: int) -> int:

@@ -43,6 +43,12 @@ class GSMetricsLog:
         self.num_gaussians = []
         self.adc_events = []  # dicts: iter, deleted, cloned, split, alive
         self.overflow_steps = 0
+        # oversized-window truncation (culling.SplatLayout.truncated):
+        # steps where any window tail was dropped, and the total dropped
+        # cell count — quantifies the quality cost of the TIER_CELLS[-1]
+        # window cap over a whole run
+        self.truncated_steps = 0
+        self.truncated_cells = 0
 
     def to_dict(self) -> dict:
         return dict(
@@ -53,6 +59,8 @@ class GSMetricsLog:
             num_gaussians=self.num_gaussians,
             adc_events=self.adc_events,
             overflow_steps=self.overflow_steps,
+            truncated_steps=self.truncated_steps,
+            truncated_cells=self.truncated_cells,
         )
 
 
