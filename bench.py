@@ -174,8 +174,13 @@ def main():
         f"cells={cells}",
         file=sys.stderr,
     )
+    import os as _os
+
     config = SplatConfig(
-        splat_capacity=1 << 22, chunk=256,
+        splat_capacity=1 << 22,
+        # experiment knob (PERF.md): BENCH_CHUNK=512 halves the window-walk
+        # grid's step count at the cost of bigger VMEM blocks
+        chunk=int(_os.environ.get("BENCH_CHUNK", "256")),
         visible_capacity=min(vbucket, 1 << 21),
         tier_capacities=caps,
     )

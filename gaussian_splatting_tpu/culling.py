@@ -45,20 +45,31 @@ from gaussian_splatting_tpu.structs import TILE_PX, TileGrid
 # TIER_CELLS[i]]).  Every tier is a contiguous segment of the
 # area-descending compacted ordering; per-tier capacities come from
 # config.tier_capacities (the runner right-sizes them from the observed
-# per-tier member counts) or a splat_capacity-derived default.  The extra
-# rungs at 3/6/12 keep per-cell padding under ~1.25x where the mass of a
-# trained scene lives (1-16 cells) — sort cost is linear in the padded
-# cell count, so tier fill is sort time.
-TIER_CELLS = (1, 2, 3, 4, 6, 8, 12, 16, 32, 64, 256, 1024, 4096)
-# Floor on tier capacities: every tier can always hold at least 32
-# members (a handful of huge-window gaussians must never overflow the
-# DEFAULT budget split — the 13-way equal-cells share leaves the big
-# tiers only ~20 members at splat_capacity 2^17), and the small-cell
-# tiers keep at least 256 cells so tiny scenes (the 6-gaussian test
-# fixture) route their gaussians somewhere.  Floors only bind in
-# default-capacity layouts; runner-rebucketed explicit caps exceed them.
+# per-tier member counts) or a splat_capacity-derived default.  Rungs sit
+# on the common wx*wy window products (4, 6, 9=3x3, 12=3x4, 16, 20, 24 …)
+# so within-tier cell padding stays ~1.1x where the mass of a trained
+# scene lives — sort cost AND kernel window count are linear in the
+# padded cell count, so tier fill is step time (round-4 refscale run:
+# the coarse 13-rung ladder padded 1.34M live splats to 3.44M cells;
+# the area-9 gap alone cost ~170k cells and the 1024/4096 caps ~450k).
+TIER_CELLS = (
+    1, 2, 3, 4, 6, 8, 9, 12, 16, 20, 24, 32, 40, 48, 64, 96, 128, 192,
+    256, 512, 1024, 2048, 4096,
+)
+# Floor on tier capacities: small-cell tiers keep at least 256 cells so
+# tiny scenes (the 6-gaussian test fixture) route their gaussians
+# somewhere, and every tier can always hold a handful of members (the
+# DEFAULT budget split leaves big tiers only ~20 members at
+# splat_capacity 2^17).  Big-K tiers floor at 8 members, NOT 32: a
+# 32-member floor on the 1024..4096 tiers alone would burn ~230k padded
+# cells on tiers that hold a few dozen transient gaussians (measured on
+# the round-4 refscale run), and a floor-overflow only drops those
+# frames' largest windows until the runner's next rebucket grows the
+# explicit cap past the floor.
 TIER_MIN = 64
-TIER_FLOORS = tuple(max(256 // k, 32) for k in TIER_CELLS)
+TIER_FLOORS = tuple(
+    max(256 // k, 32 if k <= 64 else 8) for k in TIER_CELLS
+)
 # Sentinel tile id for invalid candidate cells (sorts after any real tile).
 SENTINEL = jnp.int32(2**30)
 # Sentinel for packed (tile << z_bits | zq) candidate keys: int32 max, so
@@ -347,9 +358,14 @@ def _tier_capacities(
     ``explicit`` (config.tier_capacities, runner-bucketed from observed
     member counts) wins; otherwise a conservative default is derived from
     splat_capacity: tier 0 (1-cell windows — the bulk of a trained scene)
-    admits every compacted gaussian, and each later tier gets an equal
-    share of a 2x splat_capacity cell budget.  All capacities are floored
-    at TIER_MIN (tiny test scenes) and clipped to m_comp.
+    admits every compacted gaussian, and the remaining tiers share a
+    2x splat_capacity CELL budget weighted toward small windows
+    (cells_i ∝ k_i^-0.5, so member caps fall off as k^-1.5) — matching
+    the area distribution of real scenes, where nearly all members live
+    at k <= 16 (refscale peaks: 86k @ k=4, 67k @ k=12, 30 @ k=4096).  An
+    equal-cells-per-tier split starves the crowded small tiers as the
+    ladder gains rungs.  All capacities are floored at TIER_FLOORS (tiny
+    test scenes) and clipped to m_comp.
     """
     if explicit is not None:
         if len(explicit) != len(TIER_CELLS):
@@ -362,9 +378,11 @@ def _tier_capacities(
             for f, c in zip(TIER_FLOORS, explicit)
         )
     caps = [m_comp]
-    budget = 2 * splat_capacity // max(len(TIER_CELLS) - 1, 1)
-    for k, f in zip(TIER_CELLS[1:], TIER_FLOORS[1:]):
-        caps.append(min(m_comp, max(f, budget // k)))
+    ks = TIER_CELLS[1:]
+    z = sum(k ** -0.5 for k in ks)
+    budget = 2 * splat_capacity
+    for k, f in zip(ks, TIER_FLOORS[1:]):
+        caps.append(min(m_comp, max(f, int(budget / (z * k ** 1.5)))))
     return tuple(caps)
 
 

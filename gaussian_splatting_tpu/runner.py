@@ -140,15 +140,27 @@ class TrainingRunner:
         # grow-only eval caps) so a resumed run skips the whole capacity
         # recompile ladder it already climbed (VERDICT r4 weak #7)
         if config.load_checkpoint and config.checkpoint_path:
+            from gaussian_splatting_tpu.culling import TIER_CELLS
+
             extra = ckpt.load_checkpoint_extra(config.checkpoint_path)
-            if "train_tier_caps" in extra:
+            # capacity buckets from a checkpoint written under a different
+            # TIER_CELLS ladder can't be applied — drop them (the runner
+            # re-learns buckets within ~500 iters) instead of crashing
+            nt = len(TIER_CELLS)
+            if len(extra.get("train_tier_caps", ())) == nt:
                 self.config = config = config.replace(
                     tier_capacities=tuple(
                         int(x) for x in extra["train_tier_caps"]
                     ),
                     visible_capacity=int(extra.get("train_visible_cap", 0)),
                 )
-            if "eval_tier_caps" in extra:
+            elif "train_tier_caps" in extra:
+                print(
+                    "  checkpoint capacity buckets use a "
+                    f"{len(extra['train_tier_caps'])}-tier ladder (now "
+                    f"{nt}); re-learning buckets"
+                )
+            if len(extra.get("eval_tier_caps", ())) == nt:
                 self._eval_caps = (
                     tuple(int(x) for x in extra["eval_tier_caps"]),
                     int(extra.get("eval_visible_cap", 0)),
@@ -157,7 +169,13 @@ class TrainingRunner:
         # fetched with a lag so the host never blocks the step pipeline
         # (the reference syncs 3x per iteration; see VERDICT round 1 item 8)
         self._pending: list = []
-        self._drain_lag = 16
+        # dispatches kept in flight before the host blocks on infos.  Deep
+        # enough to keep the device fed (each dispatch is a 25-step scan),
+        # shallow enough that an overflowing step is VISIBLE host-side
+        # within ~4 dispatches — at 16, the refscale r5 run hid a
+        # post-densify overflow for 400 steps, long enough for the next
+        # ADC to fire on a zero-signal window
+        self._drain_lag = 4
         self._last_info = (0, {})
 
         # parallel modes (composable): data parallelism renders D distinct
@@ -339,14 +357,19 @@ class TrainingRunner:
             )
 
         # per-tier member-capacity buckets from observed member counts;
-        # the +64 additive headroom absorbs view-to-view variance on the
+        # the additive headroom absorbs view-to-view variance on the
         # sparse big tiers (a tier overflow drops its smallest members
-        # from the frame)
+        # from the frame).  It is budgeted in CELLS, not members: +64
+        # members costs 64 cells on tier 1 but would cost 262k cells on
+        # tier 4096 (the round-4 refscale run burned ~450k cells that
+        # way), so big-K tiers get max(8, 512 // K) spare members.
         if self._tier_watermark:
             peak = np.max(np.stack(self._tier_watermark), axis=0)
             caps = [
-                capacity_bucket(int(p) * 23 // 20 + 64, f)
-                for p, f in zip(peak, TIER_FLOORS)
+                capacity_bucket(
+                    int(p) * 23 // 20 + max(8, min(64, 512 // k)), f
+                )
+                for p, f, k in zip(peak, TIER_FLOORS, TIER_CELLS)
             ]
             # bound total cells (ADVICE r1: growth must be capped); shave
             # the biggest padded contributor first — truncating it drops
@@ -382,6 +405,33 @@ class TrainingRunner:
         self._visible_watermark.clear()
         self._tier_watermark.clear()
         return cfg
+
+    def _rebucket_event(self, cfg: SplatConfig) -> SplatConfig:
+        """Drain outstanding infos, rebucket capacities, and manage the
+        overflow escape hatch; returns (and installs) the new config."""
+        self._drain()
+        was_overflowed = self._overflowed
+        new_cfg = self._rebucket_splat_capacity(cfg)
+        if was_overflowed and new_cfg == cfg and not cfg.overflow_updates:
+            # the max_splat_capacity clamp stopped every capacity from
+            # growing while frames still overflow: without this, train_step
+            # would skip EVERY update and training would silently stall
+            # (ADVICE r2).  Render with the overflowing tiers' tails
+            # dropped instead.
+            print(
+                "  WARNING: layout overflow persists at the "
+                "max_splat_capacity ceiling "
+                f"({cfg.max_splat_capacity} cells); continuing "
+                "with truncated tier tails instead of skipping "
+                "updates (raise max_splat_capacity to fix)"
+            )
+            new_cfg = new_cfg.replace(overflow_updates=True)
+        elif new_cfg != cfg and cfg.overflow_updates:
+            # capacities moved again — restore strict skip-on-
+            # overflow semantics (flips back on if it persists)
+            new_cfg = new_cfg.replace(overflow_updates=False)
+        self.config = new_cfg
+        return new_cfg
 
     # -- scan-chunk dispatch ---------------------------------------------------
 
@@ -770,32 +820,7 @@ class TrainingRunner:
 
             band = T.sh_band_for_iteration(cfg, i)
             if self._overflowed or (i % 500 == 499):
-                self._drain()
-                was_overflowed = self._overflowed
-                new_cfg = self._rebucket_splat_capacity(cfg)
-                if (
-                    was_overflowed
-                    and new_cfg == cfg
-                    and not cfg.overflow_updates
-                ):
-                    # the max_splat_capacity clamp stopped every capacity
-                    # from growing while frames still overflow: without
-                    # this, train_step would skip EVERY update and training
-                    # would silently stall (ADVICE r2).  Render with the
-                    # overflowing tiers' tails dropped instead.
-                    print(
-                        "  WARNING: layout overflow persists at the "
-                        "max_splat_capacity ceiling "
-                        f"({cfg.max_splat_capacity} cells); continuing "
-                        "with truncated tier tails instead of skipping "
-                        "updates (raise max_splat_capacity to fix)"
-                    )
-                    new_cfg = new_cfg.replace(overflow_updates=True)
-                elif new_cfg != cfg and cfg.overflow_updates:
-                    # capacities moved again — restore strict skip-on-
-                    # overflow semantics (flips back on if it persists)
-                    new_cfg = new_cfg.replace(overflow_updates=False)
-                cfg = self.config = new_cfg
+                cfg = self._rebucket_event(cfg)
             step_count = 1
             if self.dpmp_mesh is not None:
                 info = self._dpmp_step(i, band, cfg)
@@ -862,6 +887,16 @@ class TrainingRunner:
                 and i % cfg.adaptive_control_interval == 0
                 and i < cfg.adaptive_control_end
             ):
+                # a densify burst can overflow the freshly-bucketed tier
+                # caps, and overflowed steps skip their updates — drain NOW
+                # (the stats fetch below syncs the queue anyway) so the
+                # overflow is visible and the caps regrow BEFORE more of
+                # the window is lost (the refscale r5 run lost a whole ADC
+                # window this way and the reference's zero-view delete
+                # criterion then wiped the scene)
+                self._drain()
+                if self._overflowed:
+                    cfg = self._rebucket_event(cfg)
                 self.key, sub = jax.random.split(self.key)
                 # ADC/reset never read the capacity knobs — normalise them
                 # out of the (static) config so rebucketing doesn't force a
@@ -893,6 +928,14 @@ class TrainingRunner:
                     alive=int(stats["n_alive"]),
                     cap_hit=bool(stats["cap_hit"]),
                 ))
+                if int(stats["n_alive"]) == 0:
+                    # fail fast: a scene with zero gaussians cannot recover
+                    # (clone/split need live sources) — a zombie run would
+                    # burn hours rendering background
+                    raise RuntimeError(
+                        f"ADC at iter {i} deleted every gaussian — "
+                        "aborting the run"
+                    )
 
             if (
                 i > cfg.reset_opacity_start
@@ -915,7 +958,11 @@ class TrainingRunner:
             ):
                 self._save_debug_image(i)
 
-            if i > 0 and i % cfg.checkpoint_interval == 0:
+            if (
+                cfg.checkpoint_interval > 0
+                and i > 0
+                and i % cfg.checkpoint_interval == 0
+            ):
                 ckpt.save_checkpoint(
                     os.path.join(cfg.output_dir, f"ckpt_iter_{i}.npz"),
                     self.state, i, self.key, extra=self._ckpt_extra(),

@@ -13,7 +13,15 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ~8 min on one CPU core: a full (if tiny) training run through the real
+# CLI.  The fast dp/mp/dp x mp step + ADC + eval coverage that stays in the
+# default run lives in test_parallel.py / test_gsharded.py (and the driver's
+# dryrun_multichip exercises the same loop shape on the 8-device mesh).
+pytestmark = pytest.mark.slow
 
 
 def test_train_cli_dp_mp_cpu_mesh(tmp_path):
