@@ -420,8 +420,15 @@ def adaptive_density_control(
     keep = params["opacity"][:, 0] > inverse_sigmoid(
         config.delete_opacity_threshold
     )
-    keep &= count > 0
-    keep &= uv_norm_accum > 0.0
+    # zero-view / zero-grad deletion (reference parity) — but ONLY when the
+    # accumulation window carried any signal at all.  If every step since
+    # the last ADC was skipped (layout overflow after a densify burst: the
+    # refscale r5 run lost its whole window this way), count is zero for
+    # ALL gaussians and the reference criterion would delete the entire
+    # scene; the reference itself can never hit this because torch steps
+    # never skip.  Fall back to opacity-only deletion for that window.
+    had_signal = jnp.any(count > 0)
+    keep &= ((count > 0) & (uv_norm_accum > 0.0)) | ~had_signal
     n_deleted = jnp.sum((alive & ~keep).astype(jnp.int32))
     if config.use_delete:
         freed = alive & ~keep

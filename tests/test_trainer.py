@@ -170,6 +170,43 @@ def test_adaptive_density_control_delete_and_split(setup):
         assert np.isfinite(np.asarray(v)[alive]).all(), k
 
 
+def test_adc_zero_signal_window_does_not_wipe_scene(setup):
+    """Two ADCs with NO accumulated signal between them (every intervening
+    step skipped on layout overflow — the refscale r5 failure) must fall
+    back to opacity-only deletion instead of deleting the whole scene via
+    the zero-view/zero-grad criterion (which the reference can apply
+    unconditionally only because torch steps never skip)."""
+    state, gt, cam, pose = setup
+    for _ in range(2):
+        state, _ = T.train_step(
+            state, gt, cam.K, pose, jnp.zeros(3, jnp.float32),
+            config=CFG, camera_hw=CAM_HW, n_sh_band=0, use_background=False,
+        )
+    state, stats1 = T.adaptive_density_control(
+        state, jax.random.PRNGKey(0), jnp.float32(1000.0), config=CFG
+    )
+    assert int(stats1["n_alive"]) > 0
+    # accumulators are now zero and no training happens before the next ADC
+    assert np.asarray(state.grad_accum_count).sum() == 0
+    state, stats2 = T.adaptive_density_control(
+        state, jax.random.PRNGKey(1), jnp.float32(1100.0), config=CFG
+    )
+    # nothing was below the opacity threshold -> nothing may be deleted
+    assert int(stats2["n_deleted"]) == 0
+    assert int(stats2["n_alive"]) >= int(stats1["n_alive"])
+    # opacity-based deletion must still work in the zero-signal window
+    params = dict(state.params)
+    params["opacity"] = jnp.where(
+        state.alive[:, None], inverse_sigmoid(0.01), params["opacity"]
+    )
+    state = state._replace(params=params)
+    n_alive = int(jnp.sum(state.alive.astype(jnp.int32)))
+    state, stats3 = T.adaptive_density_control(
+        state, jax.random.PRNGKey(2), jnp.float32(1200.0), config=CFG
+    )
+    assert int(stats3["n_deleted"]) == n_alive
+
+
 def test_reset_opacity(setup):
     state, *_ = setup
     state = T.reset_opacity(state, config=CFG)
