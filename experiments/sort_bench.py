@@ -57,6 +57,43 @@ def main():
                 flush=True,
             )
 
+    # i64 operand packing: if sort cost is per-OPERAND (comparator network
+    # plumbing) rather than per-byte, riding two i32 value rows as one
+    # bitcast i64 operand halves the big sorts' cost.  Requires x64 mode
+    # (enabled here only; the package itself never uses i64).
+    jax.config.update("jax_enable_x64", True)
+
+    @jax.jit
+    def gsort64(*ops):
+        return jax.lax.sort(ops, num_keys=1, is_stable=False)
+
+    for n in (1 << 21, 1 << 22):
+        for n32, n64 in ((1, 3), (1, 0), (1, 1), (2, 6)):
+            key = jnp.asarray(
+                rng.integers(0, 2**30, size=n, dtype=np.int32)
+            )
+            ops32 = [
+                jnp.asarray(
+                    rng.integers(0, 2**30, size=n, dtype=np.int32)
+                )
+                for _ in range(n32 - 1)
+            ]
+            ops64 = [
+                jnp.asarray(
+                    rng.integers(0, 2**62, size=n, dtype=np.int64)
+                )
+                for _ in range(n64)
+            ]
+            ops = tuple([key] + ops32 + ops64)
+            ms = timeit(gsort64, *ops)
+            eq32 = n32 + 2 * n64  # equivalent i32 operand count by bytes
+            print(
+                f"i64pack n={n/1e6:.1f}M i32x{n32} i64x{n64} "
+                f"(={eq32} i32-eq): {ms:7.2f} ms "
+                f"({ms/eq32/(n/1e6):.3f} ms/M/i32-eq)",
+                flush=True,
+            )
+
     # batched minor-axis sorts: same totals, rows sorted independently
     @jax.jit
     def bsort(*ops):

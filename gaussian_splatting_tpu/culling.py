@@ -399,6 +399,7 @@ def _layout_impl(
     visible_capacity: int = 0,
     tier_capacities=None,
     precision: str = "f32",
+    carry_gid: bool = True,
 ):
     """Assign gaussians to tiles and depth-sort per tile.
 
@@ -685,12 +686,19 @@ def _layout_impl(
         return jnp.concatenate(flats)
 
     cand_key = flat(tier_keys)
-    cand_gid = flat(
-        [
-            jnp.broadcast_to(g[None, :], t.shape)
-            for g, t in zip(tier_gid, tier_keys)
-        ]
-    )
+    # the hot training path (rasterize._render_dc) never reads per-splat
+    # gaussian ids — gradients reach gaussians by inverting the carried
+    # sort permutations (_reduce_splat_grads), not by id — so it skips
+    # this operand entirely (sort cost is linear in operand count).
+    # Tests / tooling (sorted_splat_list) keep it.
+    cand_gid = None
+    if carry_gid:
+        cand_gid = flat(
+            [
+                jnp.broadcast_to(g[None, :], t.shape)
+                for g, t in zip(tier_gid, tier_keys)
+            ]
+        )
     cand_pos = jnp.arange(cand_key.shape[0], dtype=jnp.int32)
 
     def cand_row(r):
@@ -742,20 +750,22 @@ def _layout_impl(
     # barrier: without it XLA fuses a copy of the whole SAT/obb producer
     # chain into each sort operand, bloating generated code several-fold
     keys = [cand_key] + ([flat(tier_zq)] if two_key else [])
+    gid_ops = [cand_gid] if carry_gid else []
     ops = jax.lax.optimization_barrier(
-        tuple(keys + [cand_gid, cand_pos] + cand_feat)
+        tuple(keys + gid_ops + [cand_pos] + cand_feat)
     )
     sorted1 = jax.lax.sort(
         ops, num_keys=2 if two_key else 1, is_stable=False
     )
-    ko = 1 if two_key else 0  # extra operand for the exact depth key
+    ko = (1 if two_key else 0) + (1 if carry_gid else 0)
     kz_bits = 0 if two_key else z_bits  # tile shift inside the first key
-    sort_key, sort_gid = sorted1[0], sorted1[1 + ko]
-    pos_sorted = sorted1[2 + ko]  # (c_cand,) cell id per splat slot
+    sort_key = sorted1[0]
+    sort_gid = sorted1[ko] if carry_gid else None
+    pos_sorted = sorted1[1 + ko]  # (c_cand,) cell id per splat slot
     c_cand = sort_key.shape[0]
     sort_tile = jax.lax.shift_right_logical(sort_key, jnp.int32(kz_bits))
     if bf16:
-        unp = _unpack_rows(list(sorted1[3 + ko :]), n_rows, True)
+        unp = _unpack_rows(list(sorted1[2 + ko :]), n_rows, True)
         # rebuild global centres from the key's tile id + the local offset
         # (sentinel slots give garbage, zeroed by the valid_slot mask below)
         txs = (sort_tile % grid.x_tiles).astype(jnp.float32)
@@ -765,7 +775,7 @@ def _layout_impl(
             unp[1] + tys * TILE_PX + half_px,
         ] + unp[2:n_rows]
     else:
-        sort_feat = list(sorted1[3 + ko :])
+        sort_feat = list(sorted1[2 + ko :])
     num_splats = jnp.sum((sort_tile < n_tiles).astype(jnp.int32))
     overflow = dropped
     # full-width layout: every candidate cell has a splat slot (the kernels
@@ -777,10 +787,19 @@ def _layout_impl(
             sort_tile, (0, s_out - c_cand),
             constant_values=int(KEY_SENTINEL) >> kz_bits,
         )
-        sort_gid = jnp.pad(sort_gid, (0, s_out - c_cand), constant_values=n)
+        if carry_gid:
+            sort_gid = jnp.pad(
+                sort_gid, (0, s_out - c_cand), constant_values=n
+            )
         sort_feat = [jnp.pad(f, (0, s_out - c_cand)) for f in sort_feat]
     valid_slot = sort_tile < n_tiles
-    gaussian_idx = jnp.where(valid_slot, sort_gid, n)
+    if carry_gid:
+        gaussian_idx = jnp.where(valid_slot, sort_gid, n)
+    else:
+        # ids were not carried (hot path): every slot reads as the pad id
+        # n so an accidental consumer indexes the scene's sentinel slot
+        # instead of silently reading a wrong gaussian
+        gaussian_idx = jnp.full(sort_tile.shape, n, jnp.int32)
     feat = None
     if n_rows:
         # NO sanitising mask over the (R, S) splat rows: sentinel slots
@@ -988,11 +1007,12 @@ def _reduce_splat_grads(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
 )
 def layout_with_features(
     uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
     chunk, visible_capacity=0, tier_capacities=None, precision="f32",
+    carry_gid=True,
 ):
     """(layout, feat): tile assignment + per-splat feature expansion.
 
@@ -1006,16 +1026,18 @@ def layout_with_features(
     layout, feat, _ = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
         chunk, visible_capacity, tier_capacities, precision,
+        carry_gid=carry_gid,
     )
     return layout, feat
 
 
 def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
              splat_capacity, chunk, visible_capacity=0,
-             tier_capacities=None, precision="f32"):
+             tier_capacities=None, precision="f32", carry_gid=True):
     layout, feat, aux = _layout_impl(
         uv, conic, z_camera, visible, feat_g, grid, mh_dist, splat_capacity,
         chunk, visible_capacity, tier_capacities, precision,
+        carry_gid=carry_gid,
     )
     zero_tpl = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -1033,7 +1055,7 @@ def _lwf_fwd(uv, conic, z_camera, visible, feat_g, grid, mh_dist,
 
 
 def _lwf_bwd(grid, mh_dist, splat_capacity, chunk, visible_capacity,
-             tier_capacities, precision, res, cot):
+             tier_capacities, precision, carry_gid, res, cot):
     import numpy as np
 
     valid_slot, pos_sorted, gid_full, tier_starts, zero_tpl, feat_s = res

@@ -180,6 +180,7 @@ def _band_image(
         zc_full, vis_full, feat_full, band_grid, config.mh_dist,
         config.splat_capacity, config.chunk, config.visible_capacity,
         config.tier_capacities, config.kernel_precision,
+        False,  # per-splat gaussian ids are never read on this path
     )
     meta = build_step_meta(layout, band_grid.tile_count, config.chunk)
     if per_pixel_sh:

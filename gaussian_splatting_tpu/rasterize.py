@@ -106,6 +106,8 @@ def _dc_fwd_impl(feat_g, background_rgb, uv, conic, z, visible, grid,
     layout, feat, aux = cu._layout_impl(
         uv, conic, z, visible, feat_g, grid, mh_dist, splat_capacity,
         chunk, visible_capacity, tier_capacities, precision,
+        carry_gid=False,  # ids are never read on the hot path; one fewer
+        # candidate-sort operand (~0.7 ms/M cells, PERF.md)
     )
     meta = build_step_meta(layout, grid.tile_count, chunk)
     featp = pad_feature_rows(feat)
