@@ -967,6 +967,17 @@ class TrainingRunner:
                     os.path.join(cfg.output_dir, f"ckpt_iter_{i}.npz"),
                     self.state, i, self.key, extra=self._ckpt_extra(),
                 )
+                # the structured run record rides along with every periodic
+                # checkpoint: a killed/preempted long run keeps its
+                # PSNR/SSIM curve and ADC event log up to the last
+                # checkpoint instead of losing everything to the
+                # end-of-train dump
+                import json
+
+                with open(
+                    os.path.join(cfg.output_dir, "metrics.json"), "w"
+                ) as f:
+                    json.dump(self.metrics.to_dict(), f)
 
             i += step_count
 
