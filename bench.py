@@ -54,7 +54,17 @@ def main():
         pick = rng.integers(0, s["xyz"].shape[0], n)
         jitter = rng.normal(size=(n, 3)).astype(np.float32)
         xyz = s["xyz"][pick] + 0.5 * s["nn"][pick][:, None] * jitter
-        scale = s["scale"][pick].astype(np.float32)
+        # split-children scale law: densifying a trained scene from its
+        # n_alive up to garden count happens through ADC splits, and each
+        # split shrinks the children's scale by split_scale_factor=1.6
+        # (reference splat_py/trainer.py:190, config.py:155). Bootstrapping
+        # count by `boost` therefore shrinks scale by 1.6^log2(boost) —
+        # without this the resampled scene keeps 64k-sized gaussians at
+        # 1.5M count and the per-tile depth blows up to ~36x what any
+        # trained scene (source run OR reference garden) actually has.
+        boost = n / float(int(s["n_alive"]))
+        shrink = np.float32(np.log(1.6) * np.log2(max(boost, 1.0)))
+        scale = s["scale"][pick].astype(np.float32) - shrink
         opacity = s["opacity"][pick].astype(np.float32)
         quat = s["quat"][pick].astype(np.float32)
         rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32) / 0.2821
