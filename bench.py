@@ -8,9 +8,13 @@ garden at 1/4 resolution) on one TPU chip, and prints ONE json line.
 Baseline: the reference trains garden-7k in 3:05 on an RTX 4090
 (README.md:26) = 26.4 ms per training iteration at ~1.5M gaussians.
 vs_baseline = baseline_ms / our_ms (>1 means faster than the reference).
+
+The workload builder (`build_workload`) is shared with
+experiments/trace_step.py so per-op traces measure the exact bench scene.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,27 +23,21 @@ import numpy as np
 BASELINE_ITER_MS = 185_000 / 7000.0  # 26.43 ms
 
 
-def main():
-    import jax
+def build_workload(n=1_500_000, H=840, W=1296, seed=0):
+    """Build the garden-scale bench scene + camera + bucketed config.
+
+    Returns (scene, K, pose, gt, config) with the scene bootstrapped from
+    the committed trained-checkpoint subsample when available (tile depth
+    matches a trained scene), else an i.i.d. synthetic fallback.
+    """
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
-    from gaussian_splatting_tpu import trainer as T
-    from gaussian_splatting_tpu.config import SplatConfig
-    from gaussian_splatting_tpu.structs import GaussianScene
-
-    from gaussian_splatting_tpu import geometry as geo
     from gaussian_splatting_tpu import culling as cu
-    from gaussian_splatting_tpu.structs import Camera, TileGrid
+    from gaussian_splatting_tpu import geometry as geo
+    from gaussian_splatting_tpu.config import SplatConfig
+    from gaussian_splatting_tpu.structs import GaussianScene, TileGrid
 
-    n = 1_500_000
-    H, W = 840, 1296
-
-    rng = np.random.default_rng(0)
-    import os
-
+    rng = np.random.default_rng(seed)
     sample_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "bench_scene_sample.npz",
@@ -72,9 +70,7 @@ def main():
         # bounding radius (the sample's own frame is the synthetic ring's)
         centroid = xyz.mean(0)
         r = float(np.quantile(np.linalg.norm(xyz - centroid, axis=1), 0.95))
-        pose_np[:3, 3] = -centroid + np.array(
-            [0, 0, 2.2 * r], np.float32
-        )
+        pose_np[:3, 3] = -centroid + np.array([0, 0, 2.2 * r], np.float32)
         print(
             f"probe: trained-scene bootstrap (ckpt iter "
             f"{int(s['iteration'])}, {int(s['n_alive'])} alive at source, "
@@ -90,10 +86,10 @@ def main():
         xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + np.array(
             [0, 0, 12.0], np.float32
         )
-        rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32) / 0.2821
         opacity = np.zeros((n, 1), np.float32)
         scale = np.log(rng.uniform(0.005, 0.03, (n, 3))).astype(np.float32)
         quat = rng.normal(size=(n, 4)).astype(np.float32)
+        rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32) / 0.2821
     scene = GaussianScene.create(
         xyz, rgb, opacity, scale, quat, capacity=1 << 21
     )
@@ -103,7 +99,6 @@ def main():
     )
     pose = jnp.asarray(pose_np)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
-    bg = jnp.zeros(3, jnp.float32)
 
     # probe the scene's layout shape on host (numpy mirror of the culling
     # window math) and bucket the static capacities exactly like the
@@ -124,10 +119,19 @@ def main():
     a = conic[:, 0] + 0.25
     b = conic[:, 1] * 0.5
     c = conic[:, 2] + 0.25
+    # opacity-aware window shrink (mirror of culling._layout_impl): cells
+    # beyond the iso-alpha ellipse {q = 2 ln(op / ALPHA_SKIP)} are skipped
+    # by the kernels, so the layout culls them
+    from gaussian_splatting_tpu.ops import common as cc_
+
+    op_post = 1.0 / (1.0 + np.exp(-np.asarray(params["opacity"][:, 0])))
+    q_max = 2.0 * np.log(np.maximum(op_post, 1e-12) / cc_.ALPHA_SKIP)
+    mh_eff = np.minimum(np.sqrt(np.maximum(q_max, 0.0)), 3.0)
+    vis &= op_post > cc_.ALPHA_SKIP
     mean = (a + c) * 0.5
     half = np.sqrt((a - c) ** 2 * 0.25 + b * b)
-    r_major = 3.0 * np.sqrt(np.maximum(mean + half, 0.0))
-    r_minor = 3.0 * np.sqrt(np.maximum(mean - half, 0.0))
+    r_major = mh_eff * np.sqrt(np.maximum(mean + half, 0.0))
+    r_minor = mh_eff * np.sqrt(np.maximum(mean - half, 0.0))
     theta = np.where(
         np.abs(b) < 1e-16,
         np.where(a >= c, 0.0, np.pi / 2),
@@ -139,15 +143,13 @@ def main():
         np.floor((uv_p[:, 0] - ext_x) / 16).astype(int), 0, grid.x_tiles
     )
     hi_x = np.clip(
-        np.floor((uv_p[:, 0] + ext_x) / 16).astype(int) + 1, 0,
-        grid.x_tiles,
+        np.floor((uv_p[:, 0] + ext_x) / 16).astype(int) + 1, 0, grid.x_tiles
     )
     lo_y = np.clip(
         np.floor((uv_p[:, 1] - ext_y) / 16).astype(int), 0, grid.y_tiles
     )
     hi_y = np.clip(
-        np.floor((uv_p[:, 1] + ext_y) / 16).astype(int) + 1, 0,
-        grid.y_tiles,
+        np.floor((uv_p[:, 1] + ext_y) / 16).astype(int) + 1, 0, grid.y_tiles
     )
     area = np.where(vis, np.maximum(hi_x - lo_x, 0) * np.maximum(
         hi_y - lo_y, 0), 0)
@@ -174,26 +176,39 @@ def main():
         prev = k
     members[-1] += int((area > cu.TIER_CELLS[-1]).sum())
     caps = tuple(
-        cu.capacity_bucket(m * 23 // 20 + 1, f)
+        cu.capacity_bucket(cu.capacity_want(m), f)
         for m, f in zip(members, cu.TIER_FLOORS)
     )
-    vbucket = cu.capacity_bucket(n_visible * 23 // 20 + 1, 1 << 16)
+    vbucket = cu.capacity_bucket(cu.capacity_want(n_visible), 1 << 16)
     cells = sum(k * cp for k, cp in zip(cu.TIER_CELLS, caps))
     print(
         f"probe: visible={n_visible} members={members} caps={caps} "
         f"cells={cells}",
         file=sys.stderr,
     )
-    import os as _os
-
     config = SplatConfig(
         splat_capacity=1 << 22,
         # experiment knob (PERF.md): BENCH_CHUNK=512 halves the window-walk
         # grid's step count at the cost of bigger VMEM blocks
-        chunk=int(_os.environ.get("BENCH_CHUNK", "256")),
+        chunk=int(os.environ.get("BENCH_CHUNK", "256")),
         visible_capacity=min(vbucket, 1 << 21),
         tier_capacities=caps,
     )
+    return scene, K, pose, gt, config
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from gaussian_splatting_tpu import trainer as T
+
+    H, W = 840, 1296
+    scene, K, pose, gt, config = build_workload(H=H, W=W)
+    bg = jnp.zeros(3, jnp.float32)
     state = T.init_train_state(scene, config)
 
     # the production dispatch path at steps_per_dispatch=10: K steps per

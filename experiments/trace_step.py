@@ -1,15 +1,16 @@
 #!/usr/bin/env python
 """Device-trace one train step at bench scale and print the per-op cost
-breakdown (sorted, aggregated by op name)."""
+breakdown (sorted, aggregated by op name).
+
+Uses bench.build_workload so the traced scene is EXACTLY the bench.py
+workload (trained-scene bootstrap when bench_scene_sample.npz exists).
+"""
 import glob
 import gzip
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
-
-import numpy as np
 
 
 def main():
@@ -19,84 +20,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    # monkeypatch: capture the step fn & state instead of timing
     import gaussian_splatting_tpu.trainer as T
-    from gaussian_splatting_tpu.config import SplatConfig
-    from gaussian_splatting_tpu.structs import GaussianScene
-    from gaussian_splatting_tpu import geometry as geo
-    from gaussian_splatting_tpu import culling as cu
-    from gaussian_splatting_tpu.structs import TileGrid
+    from bench import build_workload
 
-    n = 1_500_000
     H, W = 840, 1296
-    rng = np.random.default_rng(0)
-    xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + np.array(
-        [0, 0, 12.0], np.float32
-    )
-    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32) / 0.2821
-    opacity = np.zeros((n, 1), np.float32)
-    scale = np.log(rng.uniform(0.005, 0.03, (n, 3))).astype(np.float32)
-    quat = rng.normal(size=(n, 4)).astype(np.float32)
-    scene = GaussianScene.create(
-        xyz, rgb, opacity, scale, quat, capacity=1 << 21
-    )
-    K = jnp.array(
-        [[1100.0, 0, W / 2], [0, 1100.0, H / 2], [0, 0, 1]], jnp.float32
-    )
-    pose = jnp.eye(4, dtype=jnp.float32)
-    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+    scene, K, pose, gt, config = build_workload(H=H, W=W)
     bg = jnp.zeros(3, jnp.float32)
-
-    # same capacity probe as bench.py
-    params = scene.params()
-    xyz_cam = np.asarray(geo.transform_points(params["xyz"], pose))
-    uv_p = np.asarray(geo.project_points(jnp.asarray(xyz_cam), K))
-    sigma = geo.compute_sigma_world(params["quaternion"], params["scale"])
-    J = geo.compute_projection_jacobian(jnp.asarray(xyz_cam), K)
-    conic = np.asarray(geo.compute_conic(sigma, J, pose))
-    grid = TileGrid(H, W)
-    vis = np.asarray(
-        cu.frustum_visible(
-            jnp.asarray(xyz_cam), jnp.asarray(uv_p), (W, H), 0.3, 500.0,
-            100.0,
-        )
-    ) & np.asarray(scene.alive)
-    a = conic[:, 0] + 0.25
-    b = conic[:, 1] * 0.5
-    c = conic[:, 2] + 0.25
-    mean = (a + c) * 0.5
-    half = np.sqrt((a - c) ** 2 * 0.25 + b * b)
-    r_major = 3.0 * np.sqrt(np.maximum(mean + half, 0.0))
-    r_minor = 3.0 * np.sqrt(np.maximum(mean - half, 0.0))
-    theta = np.where(
-        np.abs(b) < 1e-16,
-        np.where(a >= c, 0.0, np.pi / 2),
-        np.arctan2(mean + half - a, b),
-    )
-    ext_x = r_major * np.abs(np.cos(theta)) + r_minor * np.abs(np.sin(theta))
-    ext_y = r_major * np.abs(np.sin(theta)) + r_minor * np.abs(np.cos(theta))
-    lo_x = np.clip(np.floor((uv_p[:, 0] - ext_x) / 16).astype(int), 0, grid.x_tiles)
-    hi_x = np.clip(np.floor((uv_p[:, 0] + ext_x) / 16).astype(int) + 1, 0, grid.x_tiles)
-    lo_y = np.clip(np.floor((uv_p[:, 1] - ext_y) / 16).astype(int), 0, grid.y_tiles)
-    hi_y = np.clip(np.floor((uv_p[:, 1] + ext_y) / 16).astype(int) + 1, 0, grid.y_tiles)
-    area = np.where(vis, np.maximum(hi_x - lo_x, 0) * np.maximum(hi_y - lo_y, 0), 0)
-    n_visible = int((area > 0).sum())
-    members = []
-    prev = 0
-    for k in cu.TIER_CELLS:
-        members.append(int(((area > prev) & (area <= k)).sum()))
-        prev = k
-    members[-1] += int((area > cu.TIER_CELLS[-1]).sum())
-    caps = tuple(
-        cu.capacity_bucket(m * 23 // 20 + 1, f)
-        for m, f in zip(members, cu.TIER_FLOORS)
-    )
-    vbucket = cu.capacity_bucket(n_visible * 23 // 20 + 1, 1 << 16)
-    config = SplatConfig(
-        splat_capacity=1 << 22, chunk=256,
-        visible_capacity=min(vbucket, 1 << 21),
-        tier_capacities=caps,
-    )
     state = T.init_train_state(scene, config)
 
     def step(state):
@@ -109,7 +38,8 @@ def main():
     float(info["loss"])
 
     tracedir = "/tmp/trace_step"
-    import shutil, os
+    import shutil
+
     shutil.rmtree(tracedir, ignore_errors=True)
     with jax.profiler.trace(tracedir):
         for _ in range(3):
@@ -119,7 +49,8 @@ def main():
     # parse the trace proto events
     files = glob.glob(f"{tracedir}/**/*.trace.json.gz", recursive=True)
     if not files:
-        print("no trace json found; files:", glob.glob(f"{tracedir}/**/*", recursive=True))
+        print("no trace json found; files:",
+              glob.glob(f"{tracedir}/**/*", recursive=True))
         return
     with gzip.open(files[0], "rt") as f:
         trace = json.load(f)
@@ -127,7 +58,6 @@ def main():
         e for e in trace.get("traceEvents", [])
         if e.get("ph") == "X" and "dur" in e
     ]
-    # keep only device-lane events (XLA ops) — heuristics: pid names
     agg = {}
     for e in events:
         name = e.get("name", "?")

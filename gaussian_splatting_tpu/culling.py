@@ -38,6 +38,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gaussian_splatting_tpu.ops import common as _cc
 from gaussian_splatting_tpu.structs import TILE_PX, TileGrid
 
 # Tier cell widths: gaussians are routed by clipped window area into the
@@ -330,19 +331,40 @@ def _tier_keys(sx, sy, wx, wy, obb, member, zq, k_cells, x_tiles, z_bits):
 
 def capacity_bucket(want: int, floor: int = 8) -> int:
     """Smallest quarter-step power-of-two bucket (4, 5, 6 or 7 times 2^k)
-    at or above ``want``.  Coarse enough that runner re-bucketing (and so
-    the minutes-long TPU sort recompiles) stays rare, fine enough that the
-    padded splat-list width stays within ~1.25x of the live work (sort
-    cost is linear in that width; the deterministic growth of a seeded
-    run replays the same bucket sequence, so the persistent compilation
-    cache absorbs the extra recompiles on reruns)."""
+    at or above ``want``; EIGHTH steps above 2^14 and SIXTEENTH steps
+    above 2^18.  Coarse enough that runner re-bucketing (and so the
+    minutes-long TPU sort recompiles) stays rare — the recompile cadence
+    is set by RELATIVE growth, so finer absolute steps on wide buckets
+    don't change it — fine enough that the padded splat-list width stays
+    within a few % of the live work where the cells actually are (sort
+    cost is linear in that width; a spare 12% of a 500k-member tier is
+    60k dead sort cells every step).  The deterministic growth of a
+    seeded run replays the same bucket sequence, so the persistent
+    compilation cache absorbs the extra recompiles on reruns."""
     want = max(int(want), int(floor), 1)
+    if want >= 1 << 18:
+        steps: tuple = tuple(range(16, 32))
+    elif want >= 1 << 14:
+        steps = (8, 9, 10, 11, 12, 13, 14, 15)
+    else:
+        steps = (4, 5, 6, 7)
     c = 1
     while True:
-        for m in (4, 5, 6, 7):
+        for m in steps:
             if m * c >= want:
                 return m * c
         c <<= 1
+
+
+def capacity_want(members: int) -> int:
+    """Member-capacity target from an observed per-tier peak: the peak
+    plus variance-scaled headroom.  Large populations are relatively
+    stable across views (their view-to-view jitter is ~sqrt(m)), so they
+    get a small relative margin; sparse tiers are volatile and keep a
+    generous one.  Replaces the flat 1.15x margin, which burned ~10% of
+    the candidate-sort width on the two biggest tiers alone."""
+    m = int(members)
+    return m + max(int(0.04 * m), int(3.0 * math.sqrt(m)) + 2)
 
 
 def _compacted_width(n: int, visible_capacity: int) -> int:
@@ -494,7 +516,32 @@ def _layout_impl(
             )
         )
 
-    obb, _ = _obb_and_radius(u, v, a, b, c, mh_dist)
+    # opacity-aware window shrink: the kernels (and the reference,
+    # src/render.cu per-pixel skip) treat alpha = op * exp(-q/2) below
+    # ALPHA_SKIP as exactly zero, so any cell whose whole tile lies beyond
+    # the iso-alpha ellipse {q = 2 ln(op / ALPHA_SKIP)} provably
+    # contributes nothing (forward OR backward).  Shrinking the mh_dist
+    # ellipse to that radius removes those cells from the sorts and the
+    # kernel walk with NO change to the rendered image beyond the skip
+    # approximation both implementations already make.  Low-opacity
+    # gaussians (op ~ 0.05) lose ~40% of their window area; op <=
+    # ALPHA_SKIP gaussians are invisible outright.  Only the hot path
+    # (full feature bundle, post-sigmoid opacity on row 2) engages it —
+    # layout-only calls (tests/tooling golden splat lists) keep the pure
+    # mh_dist window.
+    if geom_from_feat:
+        op_row = feat_g[2]
+        q_max = 2.0 * jnp.log(
+            jnp.maximum(op_row, 1e-12) * (1.0 / _cc.ALPHA_SKIP)
+        )
+        mh_eff = jnp.minimum(
+            jnp.sqrt(jnp.maximum(q_max, 0.0)), mh_dist
+        )
+        visible &= op_row > _cc.ALPHA_SKIP
+    else:
+        mh_eff = mh_dist
+
+    obb, _ = _obb_and_radius(u, v, a, b, c, mh_eff)
     sx, sy, wx, wy = _window(obb, grid.x_tiles, grid.y_tiles)
     area = jnp.where(visible, wx * wy, 0)
 
@@ -555,11 +602,22 @@ def _layout_impl(
     if two_key:
         comp_ops.append(zq)
     comp_ops.append(jnp.arange(n, dtype=jnp.int32))
+    # the DC hot-path bundle (exactly 9 rows: u,v,op,a,b,c,r,g,b — SH
+    # rides precomputed per-view colour here, depth is 7 rows, per-pixel
+    # SH >= 18) additionally packs its three colour rows into ONE
+    # 11/11/10-bit operand: both big sorts drop a full operand
+    rgb10 = bf16 and n_rows == 9
     if bf16:
         # u, v stay f32 (window recompute); rows 2.. ride as bf16 pairs
-        comp_ops += [feat_g[0], feat_g[1]] + _pack_rows(
-            [feat_g[r] for r in range(2, n_rows)], True
-        )
+        if rgb10:
+            packs_g = _pack_rows(
+                [feat_g[r] for r in range(2, 6)], True
+            ) + [_pack_rgb10(feat_g[6], feat_g[7], feat_g[8])]
+        else:
+            packs_g = _pack_rows(
+                [feat_g[r] for r in range(2, n_rows)], True
+            )
+        comp_ops += [feat_g[0], feat_g[1]] + packs_g
     elif n_rows:
         comp_ops += [feat_g[r] for r in range(n_rows)]
     if not geom_from_feat:
@@ -579,9 +637,13 @@ def _layout_impl(
     gid_c = comp[1 + co][:m_comp]
     feat_c = None
     if bf16:
-        rest = _unpack_rows(
-            [p[:m_comp] for p in comp[4 + co :]], n_rows - 2, True
-        )
+        packed_tail = [p[:m_comp] for p in comp[4 + co :]]
+        if rgb10:
+            rest = _unpack_rows(packed_tail[:-1], 4, True) + list(
+                _unpack_rgb10(packed_tail[-1])
+            )
+        else:
+            rest = _unpack_rows(packed_tail, n_rows - 2, True)
         feat_c = jnp.stack(
             [comp[2 + co][:m_comp], comp[3 + co][:m_comp]] + rest
         )
@@ -596,7 +658,20 @@ def _layout_impl(
         u_c, v_c, a_c, b_c, c_c = (
             comp[2 + co + n_rows + j][:m_comp] for j in range(5)
         )
-    obb_c, _ = _obb_and_radius(u_c, v_c, a_c, b_c, c_c, mh_dist)
+    if geom_from_feat:
+        # same opacity-aware shrink as the pre-compaction window, from the
+        # carried opacity row (bf16-roundtripped under kernel_precision=
+        # "bf16" — the same rounding the carried a/b/c geometry already
+        # accepts for the window recompute)
+        q_max_c = 2.0 * jnp.log(
+            jnp.maximum(feat_c[2], 1e-12) * (1.0 / _cc.ALPHA_SKIP)
+        )
+        mh_eff_c = jnp.minimum(
+            jnp.sqrt(jnp.maximum(q_max_c, 0.0)), mh_dist
+        )
+    else:
+        mh_eff_c = mh_dist
+    obb_c, _ = _obb_and_radius(u_c, v_c, a_c, b_c, c_c, mh_eff_c)
     sx_c, sy_c, wx_c, wy_c = _window(obb_c, grid.x_tiles, grid.y_tiles)
     slot = jnp.arange(m_comp, dtype=jnp.int32)
     n_vis_c = jnp.minimum(n_vis, m_comp).astype(jnp.int32)
@@ -765,7 +840,12 @@ def _layout_impl(
     c_cand = sort_key.shape[0]
     sort_tile = jax.lax.shift_right_logical(sort_key, jnp.int32(kz_bits))
     if bf16:
-        unp = _unpack_rows(list(sorted1[2 + ko :]), n_rows, True)
+        if rgb10:
+            unp = _unpack_rows(
+                list(sorted1[2 + ko : -1]), 6, True
+            ) + list(_unpack_rgb10(sorted1[-1]))
+        else:
+            unp = _unpack_rows(list(sorted1[2 + ko :]), n_rows, True)
         # rebuild global centres from the key's tile id + the local offset
         # (sentinel slots give garbage, zeroed by the valid_slot mask below)
         txs = (sort_tile % grid.x_tiles).astype(jnp.float32)
@@ -886,6 +966,40 @@ def _unpack2_bf16(p: jax.Array):
         (pu >> 16).astype(jnp.uint16), jnp.bfloat16
     ).astype(jnp.float32)
     return a, b
+
+
+def _pack_rgb10(r: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+    """Three f32 colour rows -> ONE i32 row of 11/11/10-bit signed
+    fixed-point fields in [-4, 4).
+
+    r/g get step 1/256 (= pixel quantisation 1/255), b gets 1/128; values
+    clamp at the range ends.  The absolute error (<= 0.002/0.004) matches
+    the ~0.4% relative noise the bf16 pair packing already accepts on
+    colour, but costs ONE sort operand instead of 1.5 — the candidate
+    sort (the widest op in the step) drops a full operand.
+    """
+    ri = jnp.clip(jnp.round(r * 256.0), -1024, 1023).astype(jnp.int32)
+    gi = jnp.clip(jnp.round(g * 256.0), -1024, 1023).astype(jnp.int32)
+    bi = jnp.clip(jnp.round(b * 128.0), -512, 511).astype(jnp.int32)
+    return (
+        (ri & jnp.int32(0x7FF))
+        | ((gi & jnp.int32(0x7FF)) << 11)
+        | (bi << 22)
+    )
+
+
+def _unpack_rgb10(p: jax.Array):
+    """Inverse of _pack_rgb10 (sign-extension via arithmetic shifts)."""
+    r = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, jnp.int32(21)), jnp.int32(21)
+    ).astype(jnp.float32) * (1.0 / 256.0)
+    g = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, jnp.int32(10)), jnp.int32(21)
+    ).astype(jnp.float32) * (1.0 / 256.0)
+    b = jax.lax.shift_right_arithmetic(p, jnp.int32(22)).astype(
+        jnp.float32
+    ) * (1.0 / 128.0)
+    return r, g, b
 
 
 def _pack_rows(rows, bf16: bool):

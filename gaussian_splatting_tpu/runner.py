@@ -338,6 +338,7 @@ class TrainingRunner:
             TIER_CELLS,
             TIER_FLOORS,
             capacity_bucket,
+            capacity_want,
         )
 
         if not self._visible_watermark:
@@ -347,7 +348,7 @@ class TrainingRunner:
         gauss_cap = int(self.state.alive.shape[0])
         cur_vcap = cfg.visible_capacity or gauss_cap
         vbucket = capacity_bucket(
-            max(self._visible_watermark) * 23 // 20 + 1, 1 << 16
+            capacity_want(max(self._visible_watermark)), 1 << 16
         )
         vbucket = min(vbucket, gauss_cap)
         if vbucket != cur_vcap:
@@ -367,7 +368,7 @@ class TrainingRunner:
             peak = np.max(np.stack(self._tier_watermark), axis=0)
             caps = [
                 capacity_bucket(
-                    int(p) * 23 // 20 + max(8, min(64, 512 // k)), f
+                    capacity_want(int(p)) + max(8, min(64, 512 // k)), f
                 )
                 for p, f, k in zip(peak, TIER_FLOORS, TIER_CELLS)
             ]
